@@ -1,0 +1,201 @@
+"""Fused multi-head attention Pallas kernel for TPU.
+
+Why this exists: the score transformer (reference ``score_models.py:57-62``)
+has tiny heads (d_model 72 / 12 heads -> head_dim 6) but the fused
+sampler runs it over up to 10k chains at once; materializing the
+``(B, H, L, L)`` score tensor in HBM would dominate the step time
+(tens of GB of traffic per layer). This kernel keeps scores/probs in
+VMEM and streams only Q, K, V, O through HBM.
+
+TPU-first layout: head_dim lives on *sublanes* (padded to 16) and the
+sequence on *lanes* (padded to 128), i.e. inputs are packed as
+``(B, H * dh_pad, L_pad)``. A head's Q/K/V tile is then a cheap static
+sublane slice, HBM loads stay compact (~2.7x padding instead of ~21x for
+a lane-padded head_dim), and every contraction maps onto
+``lax.dot_general`` without in-kernel transposes.
+
+Forward and backward are separate kernels wired with ``jax.custom_vjp``;
+the backward recomputes the softmax instead of saving statistics
+(attention FLOPs are negligible next to the FFN at these shapes).
+Numerics: scores/softmax accumulate in fp32 regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DH_PAD = 16  # sublane padding per head (bf16 tile height)
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _head_slice(ref, h: int):
+    return ref[0, h * DH_PAD : (h + 1) * DH_PAD, :]
+
+
+def _softmax_fp32(s: Array, l_valid: int) -> Array:
+    """Row softmax over lanes with key positions >= l_valid masked out."""
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+    s = jnp.where(col < l_valid, s, -1e30)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=1, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int, l_valid: int, scale: float):
+    for h in range(n_head):
+        qh = _head_slice(q_ref, h)  # (dh_pad, Lp)
+        kh = _head_slice(k_ref, h)
+        vh = _head_slice(v_ref, h)
+        # S[i, j] = sum_d q[d, i] k[d, j] * scale   -> (Lp, Lp) in fp32
+        s = jax.lax.dot_general(
+            qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = _softmax_fp32(s, l_valid).astype(vh.dtype)
+        # O[d, i] = sum_j v[d, j] P[i, j]
+        o_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = jax.lax.dot_general(
+            vh, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, n_head: int, l_valid: int, scale: float,
+):
+    for h in range(n_head):
+        qh = _head_slice(q_ref, h)
+        kh = _head_slice(k_ref, h)
+        vh = _head_slice(v_ref, h)
+        doh = _head_slice(do_ref, h)  # (dh_pad, Lp_i)
+
+        s = jax.lax.dot_general(
+            qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = _softmax_fp32(s, l_valid)  # fp32 (Lp_i, Lp_j)
+        p_cast = p.astype(vh.dtype)
+
+        # O (recomputed) and the row dot D_i = sum_d dO[d,i] O[d,i],
+        # shaped as a column (Lp_i, 1) via a tiny matmul (no transpose).
+        oh = jax.lax.dot_general(
+            vh, p_cast, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        do_f32 = doh.astype(jnp.float32)
+        d_col = jax.lax.dot_general(
+            do_f32 * oh,
+            jnp.ones((DH_PAD, 1), jnp.float32),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Lp_i, 1)
+
+        # dP[i, j] = sum_d dO[d, i] v[d, j]
+        dp = jax.lax.dot_general(
+            doh, vh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - d_col)).astype(qh.dtype)  # (Lp_i, Lp_j)
+
+        # dq[d, i] = sum_j k[d, j] dS[i, j] * scale
+        dq_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = (
+            jax.lax.dot_general(
+                kh, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        ).astype(dq_ref.dtype)
+        # dk[d, j] = sum_i q[d, i] dS[i, j] * scale
+        dk_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = (
+            jax.lax.dot_general(
+                qh, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        ).astype(dk_ref.dtype)
+        # dv[d, j] = sum_i dO[d, i] P[i, j]
+        dv_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = jax.lax.dot_general(
+            doh, p_cast, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+
+
+def _pack(x: Array) -> Array:
+    """(B, H, L, Dh) -> (B, H * DH_PAD, L_pad) with zero padding."""
+    b, h, l, dh = x.shape
+    lp = _round_up(l, LANE)
+    x = jnp.swapaxes(x, 2, 3)  # (B, H, Dh, L)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, DH_PAD - dh), (0, lp - l)))
+    return x.reshape(b, h * DH_PAD, lp)
+
+
+def _unpack(x: Array, h: int, l: int, dh: int) -> Array:
+    b = x.shape[0]
+    x = x.reshape(b, h, DH_PAD, -1)[:, :, :dh, :l]
+    return jnp.swapaxes(x, 2, 3)  # (B, H, L, Dh)
+
+
+def _block_specs(n: int, rows: int, lp: int):
+    spec = pl.BlockSpec((1, rows, lp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return [spec] * n, spec
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_call(q: Array, k: Array, v: Array) -> Array:
+    b, h, l, dh = q.shape
+    scale = 1.0 / math.sqrt(dh)
+    qp, kp, vp = _pack(q), _pack(k), _pack(v)
+    rows, lp = qp.shape[1], qp.shape[2]
+    in_specs, out_spec = _block_specs(3, rows, lp)
+    kernel = functools.partial(_fwd_kernel, n_head=h, l_valid=l, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        interpret=_interpret(),
+    )(qp, kp, vp)
+    return _unpack(out, h, l, dh)
+
+
+def _bwd_call(q: Array, k: Array, v: Array, do: Array):
+    b, h, l, dh = q.shape
+    scale = 1.0 / math.sqrt(dh)
+    qp, kp, vp, dop = _pack(q), _pack(k), _pack(v), _pack(do)
+    rows, lp = qp.shape[1], qp.shape[2]
+    in_specs, out_spec = _block_specs(4, rows, lp)
+    kernel = functools.partial(_bwd_kernel, n_head=h, l_valid=l, scale=scale)
+    dqp, dkp, dvp = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=(out_spec,) * 3,
+        out_shape=tuple(jax.ShapeDtypeStruct(qp.shape, q.dtype) for _ in range(3)),
+        interpret=_interpret(),
+    )(qp, kp, vp, dop)
+    return tuple(_unpack(t, h, l, dh) for t in (dqp, dkp, dvp))
+
+
+@jax.custom_vjp
+def flash_attention(q: Array, k: Array, v: Array) -> Array:
+    """Fused softmax(Q K^T / sqrt(dh)) V over ``(B, H, L, Dh)`` tensors."""
+    return _fwd_call(q, k, v)
+
+
+def _flash_fwd(q, k, v):
+    return _fwd_call(q, k, v), (q, k, v)
+
+
+def _flash_bwd(res, do):
+    q, k, v = res
+    return _bwd_call(q, k, v, do)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
