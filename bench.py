@@ -1,0 +1,78 @@
+"""Headline benchmark: 1000-step fused diffusion sampling throughput.
+
+Workload = the reference's eval run (``cmd/conf/sample.yaml``): generate
+samples with K=1000 reverse steps on the flagship ECG frequency-domain
+transformer (d_model 72, 10 layers, 12 heads, L=187). The reference
+drives every step from Python (50k kernel launches per 10k samples);
+here the whole loop is one XLA program per batch.
+
+Baseline: the north-star target is 10k samples in <60s on a v5e-8
+(BASELINE.json) => 166.7 samples/s on 8 chips => 20.83 samples/s/chip.
+``vs_baseline`` is measured samples/s on this single chip divided by
+that per-chip target (>1 beats the target).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from fourierdiffusion_tpu.models import ScoreModelConfig
+    from fourierdiffusion_tpu.sampling.sampler import make_sample_fn
+    from fourierdiffusion_tpu.schedulers import VPScheduler
+
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    steps = int(os.environ.get("BENCH_STEPS", "1000"))
+    max_len, n_channels = 187, 1
+
+    model = ScoreModelConfig(
+        model_type="transformer", dtype="bfloat16"
+    ).build(n_channels=n_channels, max_len=max_len)
+    scheduler = VPScheduler(fourier_noise_scaling=True)
+
+    x0 = jnp.zeros((1, max_len, n_channels), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,)))
+
+    fn = make_sample_fn(
+        model,
+        scheduler,
+        num_diffusion_steps=steps,
+        batch_size=batch,
+        max_len=max_len,
+        n_channels=n_channels,
+    )
+
+    # Warmup / compile.
+    fn(variables, jax.random.PRNGKey(1)).block_until_ready()
+
+    t0 = time.perf_counter()
+    n_batches = 2
+    for i in range(n_batches):
+        out = fn(variables, jax.random.PRNGKey(2 + i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = n_batches * batch / dt
+    per_chip_target = 10000.0 / 60.0 / 8.0  # v5e-8 north star, per chip
+    print(
+        json.dumps(
+            {
+                "metric": f"diffusion_samples_per_sec_{steps}step",
+                "value": round(samples_per_sec, 2),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_sec / per_chip_target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

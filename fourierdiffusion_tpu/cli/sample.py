@@ -1,0 +1,145 @@
+"""Sampling + evaluation CLI.
+
+Usage (mirrors ``python cmd/sample.py model_id=XYZ``):
+
+    fdiff-sample model_id=<run_id> [num_samples=10000 num_diffusion_steps=1000 ...]
+
+Behavior parity with the reference ``cmd/sample.py:18-104``: reloads the
+run's resolved ``train_config.yaml`` as the source of truth, rebuilds the
+datamodule and score model, restores the best checkpoint (lowest recorded
+val loss), generates samples with the fused sampler, un-standardizes,
+maps frequency-domain samples back with ``idft``, evaluates the metric
+collection (with baselines + spectral density) and writes
+``results.yaml`` + ``samples.npy`` into the run directory.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import yaml
+
+from fourierdiffusion_tpu.ops.fourier import idft
+from fourierdiffusion_tpu.sampling.metrics import (
+    MarginalWasserstein,
+    MetricCollection,
+    SlicedWasserstein,
+)
+from fourierdiffusion_tpu.sampling.sampler import DiffusionSampler
+from fourierdiffusion_tpu.utils.checkpoint import get_best_checkpoint, load_checkpoint
+from fourierdiffusion_tpu.utils.config import compose, dict_to_str, load_config, save_config
+from fourierdiffusion_tpu.utils.instantiate import (
+    build_datamodule,
+    build_model_config,
+    build_scheduler,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class SamplingRunner:
+    def __init__(self, cfg: dict) -> None:
+        logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+        logger.info("Sampling config:\n%s", dict_to_str(cfg))
+        self.cfg = cfg
+        self.save_dir = Path(cfg["model_path"]) / str(cfg["model_id"])
+        if not self.save_dir.exists():
+            raise FileNotFoundError(f"Run directory {self.save_dir} not found")
+        save_config(cfg, self.save_dir / "sample_config.yaml")
+
+        train_cfg = load_config(self.save_dir / "train_config.yaml")
+        self.datamodule = build_datamodule(train_cfg["datamodule"])
+        self.fourier_transform = self.datamodule.fourier_transform
+        self.datamodule.prepare_data()
+        self.datamodule.setup()
+
+        self.num_samples = int(cfg["num_samples"])
+        self.num_diffusion_steps = int(cfg["num_diffusion_steps"])
+
+        ckpt_path = get_best_checkpoint(self.save_dir / "checkpoints")
+        logger.info("Restoring %s", ckpt_path)
+        self.variables = load_checkpoint(ckpt_path)
+
+        self.scheduler = build_scheduler(train_cfg["score_model"]["noise_scheduler"])
+        params = self.datamodule.dataset_parameters
+        self.model = build_model_config(train_cfg["score_model"]).build(
+            n_channels=params["n_channels"], max_len=params["max_len"]
+        )
+
+        mesh = None
+        n_dev = len(jax.devices())
+        batch = int(cfg["sampler"]["sample_batch_size"])
+        if n_dev > 1 and batch % n_dev == 0:
+            from fourierdiffusion_tpu.cli.train import make_data_mesh
+
+            mesh = make_data_mesh()
+        self.sampler = DiffusionSampler(
+            self.model,
+            self.scheduler,
+            max_len=params["max_len"],
+            n_channels=params["n_channels"],
+            sample_batch_size=batch,
+            mesh=mesh,
+        )
+
+        seed = int(cfg.get("random_seed", 42))
+        m_cfg = cfg["metrics"]
+        self.metrics = MetricCollection(
+            metric_factories=[
+                lambda o: SlicedWasserstein(
+                    o,
+                    random_seed=seed,
+                    num_directions=int(m_cfg.get("num_directions", 1000)),
+                    save_all_distances=bool(m_cfg.get("save_all_distances", True)),
+                ),
+                lambda o: MarginalWasserstein(
+                    o,
+                    random_seed=seed,
+                    save_all_distances=bool(m_cfg.get("save_all_distances", True)),
+                ),
+            ],
+            original_samples=self.datamodule.X_train,
+            include_baselines=bool(m_cfg.get("include_baselines", True)),
+            include_spectral_density=bool(m_cfg.get("include_spectral_density", True)),
+        )
+        self.random_seed = seed
+
+    def sample(self) -> None:
+        x = self.sampler.sample(
+            self.variables,
+            jax.random.PRNGKey(self.random_seed),
+            num_samples=self.num_samples,
+            num_diffusion_steps=self.num_diffusion_steps,
+        )
+
+        if self.datamodule.standardize:
+            mean, std = self.datamodule.feature_mean_and_std
+            x = x * std + mean
+        if self.fourier_transform:
+            x = idft(x)
+
+        results = self.metrics(x)
+        printable = {k: v for k, v in results.items() if not isinstance(v, list)}
+        logger.info("Metrics:\n%s", dict_to_str(printable))
+
+        logger.info("Saving samples and metrics to %s", self.save_dir)
+        with open(self.save_dir / "results.yaml", "w") as f:
+            yaml.safe_dump(results, f)
+        np.save(self.save_dir / "samples.npy", np.asarray(x))
+
+
+def main(argv: list[str] | None = None) -> None:
+    overrides = list(sys.argv[1:] if argv is None else argv)
+    cfg = compose("sample", overrides)
+    if cfg.get("model_id") in (None, "???"):
+        raise SystemExit("model_id=<run_id> is required")
+    runner = SamplingRunner(cfg)
+    runner.sample()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Training CLI.
+
+Usage (mirrors ``python cmd/train.py`` + hydra overrides):
+
+    fdiff-train [group=option | key=value ...]
+    e.g. fdiff-train fourier_transform=true datamodule=ecg score_model=lstm
+
+Behavior parity with the reference ``cmd/train.py:19-73``: seeds, builds
+the datamodule / scheduler / score model from the composed config,
+saves the resolved config to ``<run_dir>/<run_id>/train_config.yaml``
+(the artifact the sampling CLI reloads), asserts that noise scaling
+implies the Fourier transform, and fits with checkpointing + periodic
+sampling metrics. Data-parallelism over all visible devices is automatic
+when the batch size divides the device count.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from fourierdiffusion_tpu.training.callbacks import SamplingCallback
+from fourierdiffusion_tpu.training.trainer import Trainer
+from fourierdiffusion_tpu.utils.checkpoint import BestCheckpointCallback
+from fourierdiffusion_tpu.utils.config import compose, dict_to_str, save_config
+from fourierdiffusion_tpu.utils.instantiate import (
+    build_datamodule,
+    build_model_config,
+    build_scheduler,
+)
+from fourierdiffusion_tpu.utils.logging import JsonlWriter, MultiWriter, maybe_initialize_wandb
+
+logger = logging.getLogger(__name__)
+
+
+def make_data_mesh():
+    """1-D ``data`` mesh over all visible devices (None if single device)."""
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(devices), axis_names=("data",))
+
+
+class TrainingRunner:
+    def __init__(self, cfg: dict) -> None:
+        self.cfg = cfg
+        logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+        logger.info("Training config:\n%s", dict_to_str(cfg))
+
+        wandb_writer, run_id = maybe_initialize_wandb(cfg)
+        self.run_id = run_id
+        self.run_dir = Path(cfg.get("run_dir", "runs")) / run_id
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        save_config(cfg, self.run_dir / "train_config.yaml")
+        logger.info("Run directory: %s", self.run_dir)
+
+        self.datamodule = build_datamodule(cfg["datamodule"])
+        self.datamodule.prepare_data()
+        self.datamodule.setup("fit")
+
+        self.scheduler = build_scheduler(cfg["score_model"]["noise_scheduler"])
+        model_cfg = build_model_config(cfg["score_model"])
+        params = self.datamodule.dataset_parameters
+        self.model = model_cfg.build(
+            n_channels=params["n_channels"], max_len=params["max_len"]
+        )
+
+        mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and self.datamodule.batch_size % n_dev == 0:
+            mesh = make_data_mesh()
+            logger.info("Data-parallel over %d devices", n_dev)
+
+        writer = MultiWriter(JsonlWriter(self.run_dir), wandb_writer)
+        trainer_cfg = cfg["trainer"]
+        max_epochs = int(trainer_cfg["max_epochs"])
+
+        callbacks = [BestCheckpointCallback(self.run_dir / "checkpoints")]
+        sampling_cfg = trainer_cfg.get("callbacks", {}).get("sampling", {})
+        if sampling_cfg.get("enabled", False):
+            callbacks.append(
+                SamplingCallback(
+                    self.model,
+                    self.scheduler,
+                    self.datamodule,
+                    every_n_epochs=int(sampling_cfg.get("every_n_epochs", 10)),
+                    sample_batch_size=int(sampling_cfg.get("sample_batch_size", 64)),
+                    num_samples=int(sampling_cfg.get("num_samples", 200)),
+                    num_diffusion_steps=int(
+                        sampling_cfg.get("num_diffusion_steps", 1000)
+                    ),
+                    num_directions=int(sampling_cfg.get("num_directions", 200)),
+                    random_seed=int(cfg.get("random_seed", 42)),
+                    mesh=mesh,
+                    metrics_writer=writer,
+                    max_epochs=max_epochs,
+                )
+            )
+
+        self.trainer = Trainer(
+            self.model,
+            self.scheduler,
+            max_epochs=max_epochs,
+            lr_max=float(cfg["score_model"]["lr_max"]),
+            gradient_clip_val=float(trainer_cfg.get("gradient_clip_val", 1.0)),
+            likelihood_weighting=bool(
+                cfg["score_model"].get("likelihood_weighting", False)
+            ),
+            seed=int(cfg.get("random_seed", 42)),
+            mesh=mesh,
+            callbacks=tuple(callbacks),
+            metrics_writer=writer,
+        )
+
+    def train(self):
+        # Noise scaling without the Fourier transform would whiten the
+        # wrong domain (reference guard, cmd/train.py:60-62).
+        assert not (
+            self.cfg["score_model"]["fourier_noise_scaling"]
+            and not self.datamodule.fourier_transform
+        ), "You cannot use noise scaling without the Fourier transform."
+        return self.trainer.fit(self.datamodule)
+
+
+def main(argv: list[str] | None = None) -> None:
+    overrides = list(sys.argv[1:] if argv is None else argv)
+    cfg = compose("train", overrides)
+    runner = TrainingRunner(cfg)
+    runner.train()
+    print(f"run_id={runner.run_id}")
+
+
+if __name__ == "__main__":
+    main()

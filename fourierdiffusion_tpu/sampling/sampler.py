@@ -1,0 +1,133 @@
+"""Fused reverse-diffusion sampler.
+
+The reference drives 1000 reverse steps per batch from Python
+(``sampler.py:45-109``: 50,000 model invocations + a device->host copy
+per batch for the default eval run). Here the whole reverse SDE — prior
+sampling, per-step RNG, score-network forward, Euler–Maruyama update —
+compiles into ONE XLA program: a ``lax.scan`` over the K timesteps with
+zero host round-trips; only final samples land on the host.
+
+Chains are batched (``sample_batch_size`` bounds the FFN activation
+footprint) and, when a mesh is provided, sharded across devices over the
+``data`` axis so 10k chains split over ICI.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fourierdiffusion_tpu.schedulers.sde import SDE
+
+logger = logging.getLogger(__name__)
+
+
+def make_sample_fn(
+    model,
+    scheduler: SDE,
+    *,
+    num_diffusion_steps: int,
+    batch_size: int,
+    max_len: int,
+    n_channels: int,
+    mesh: Optional[Mesh] = None,
+):
+    """Build the jitted fused sampling program.
+
+    Returns ``sample(variables, key) -> (batch_size, max_len, n_channels)``.
+    """
+    timesteps = scheduler.timesteps(num_diffusion_steps)
+    step_size = scheduler.step_size(num_diffusion_steps)
+
+    def sample(variables, key: Array) -> Array:
+        prior_key, scan_key = jax.random.split(key)
+        x = scheduler.prior_sampling(
+            prior_key, (batch_size, max_len, n_channels)
+        )
+        if mesh is not None:
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("data"))
+            )
+
+        def body(x: Array, inputs):
+            t, step_key = inputs
+            t_vec = jnp.full((batch_size,), t, x.dtype)
+            score = model.apply(variables, x, t_vec, deterministic=True)
+            x = scheduler.step(step_key, score, t, x, step_size).prev_sample
+            return x, None
+
+        step_keys = jax.random.split(scan_key, num_diffusion_steps)
+        x, _ = jax.lax.scan(body, x, (timesteps, step_keys))
+        return x
+
+    if mesh is not None:
+        replicated = NamedSharding(mesh, P())
+        return jax.jit(sample, in_shardings=(replicated, replicated))
+    return jax.jit(sample)
+
+
+class DiffusionSampler:
+    """Batched ancestral sampling (reference ``DiffusionSampler``,
+    ``sampler.py:11-122``).
+
+    Conscious fix of a reference quirk: the reference *truncates*
+    ``num_samples`` to a multiple of the batch size
+    (``sampler.py:63``); here the number of batches rounds up and the
+    output is trimmed to exactly ``num_samples``.
+    """
+
+    def __init__(
+        self,
+        model,
+        scheduler: SDE,
+        *,
+        max_len: int,
+        n_channels: int,
+        sample_batch_size: int = 200,
+        mesh: Optional[Mesh] = None,
+    ) -> None:
+        self.model = model
+        self.scheduler = scheduler
+        self.max_len = max_len
+        self.n_channels = n_channels
+        self.sample_batch_size = sample_batch_size
+        self.mesh = mesh
+        self._fn_cache: dict[tuple[int, int], object] = {}
+
+    def _get_fn(self, num_diffusion_steps: int, batch_size: int):
+        cache_key = (num_diffusion_steps, batch_size)
+        if cache_key not in self._fn_cache:
+            self._fn_cache[cache_key] = make_sample_fn(
+                self.model,
+                self.scheduler,
+                num_diffusion_steps=num_diffusion_steps,
+                batch_size=batch_size,
+                max_len=self.max_len,
+                n_channels=self.n_channels,
+                mesh=self.mesh,
+            )
+        return self._fn_cache[cache_key]
+
+    def sample(
+        self,
+        variables,
+        key: Array,
+        num_samples: int,
+        num_diffusion_steps: int = 1000,
+    ) -> Array:
+        """Generate ``num_samples`` series; one fused XLA program per batch."""
+        batch = min(self.sample_batch_size, num_samples)
+        fn = self._get_fn(num_diffusion_steps, batch)
+        num_batches = -(-num_samples // batch)
+        outs = []
+        for i in range(num_batches):
+            outs.append(fn(variables, jax.random.fold_in(key, i)))
+        x = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        return x[:num_samples]

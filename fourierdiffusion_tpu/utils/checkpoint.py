@@ -1,0 +1,104 @@
+"""Orbax checkpointing with the reference's run-dir contract.
+
+The durable artifact layout matches the reference
+(``cmd/train.py:40-43``, ``cmd/sample.py:36-37,88-94``):
+
+    <run_dir>/<run_id>/
+        train_config.yaml        resolved training config (source of truth)
+        checkpoints/
+            epoch={e}-val_loss={v:.2f}/   orbax checkpoint (params+constants)
+            .../metadata.json             exact val loss + epoch + step
+        sample_config.yaml, results.yaml, samples.npy   (written by sample CLI)
+
+Best-checkpoint selection reads the recorded val loss from
+``metadata.json`` (conscious fix of the reference's two-decimal filename
+regex, ``extraction.py:79-98``; the filename keeps the same pattern for
+human parity).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
+
+
+def save_checkpoint(
+    checkpoints_dir: Path,
+    *,
+    epoch: int,
+    step: int,
+    val_loss: float,
+    params: Any,
+    constants: Any,
+) -> Path:
+    checkpoints_dir = Path(checkpoints_dir)
+    checkpoints_dir.mkdir(parents=True, exist_ok=True)
+    name = f"epoch={epoch}-val_loss={val_loss:.2f}"
+    path = (checkpoints_dir / name).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {"params": params, "constants": constants},
+            force=True,
+        )
+    with open(path / "metadata.json", "w") as f:
+        json.dump({"epoch": epoch, "step": step, "val_loss": float(val_loss)}, f)
+    return path
+
+
+def load_checkpoint(path: Path) -> dict[str, Any]:
+    """Load ``{"params": ..., "constants": ...}`` variables."""
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(Path(path).resolve())
+
+
+def get_best_checkpoint(checkpoints_dir: Path) -> Path:
+    """Minimum recorded ``val_loss`` across saved checkpoints."""
+    checkpoints_dir = Path(checkpoints_dir)
+    best: Optional[Path] = None
+    best_loss = float("inf")
+    for meta_path in checkpoints_dir.glob("*/metadata.json"):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta["val_loss"] < best_loss:
+            best_loss = meta["val_loss"]
+            best = meta_path.parent
+    if best is None:
+        raise FileNotFoundError(f"No checkpoints under {checkpoints_dir}")
+    return best
+
+
+class BestCheckpointCallback:
+    """Epoch callback: keep the checkpoint with the lowest val loss
+    (Lightning ``ModelCheckpoint(monitor="val/loss")`` semantics)."""
+
+    def __init__(self, checkpoints_dir: Path, keep_last: bool = True) -> None:
+        self.checkpoints_dir = Path(checkpoints_dir)
+        self.keep_last = keep_last
+        self.best_loss = float("inf")
+        self.best_path: Optional[Path] = None
+
+    def __call__(self, trainer, epoch: int, params, constants, metrics) -> None:
+        val_loss = metrics["val/loss"]
+        if val_loss < self.best_loss:
+            prev = self.best_path
+            self.best_path = save_checkpoint(
+                self.checkpoints_dir,
+                epoch=epoch,
+                step=int(metrics.get("epoch", epoch)),
+                val_loss=val_loss,
+                params=params,
+                constants=constants,
+            )
+            self.best_loss = val_loss
+            if prev is not None and prev.exists():
+                import shutil
+
+                shutil.rmtree(prev, ignore_errors=True)

@@ -1,0 +1,130 @@
+"""Metric tests mirroring the reference (``tests/test_metrics.py``):
+sliced W2 vs POT within 0.1, marginal W2 vs the analytic shift, plus
+exact parity of our quantile W2 against ``ot.emd2_1d`` when POT is
+available and against scipy-free closed forms otherwise.
+"""
+
+import numpy as np
+import pytest
+
+from fourierdiffusion_tpu.ops.wasserstein import marginal_w2, sliced_w2, w2_1d
+from fourierdiffusion_tpu.sampling.metrics import (
+    MarginalWasserstein,
+    MetricCollection,
+    SlicedWasserstein,
+)
+
+RANDOM_SEED = 42
+N_SAMPLES = 1000
+MAX_LEN = 2
+N_CHANNELS = 1
+NUM_DIRECTIONS = 500
+
+
+@pytest.mark.parametrize("shift", [0.0, 0.1, 1.0])
+def test_marginal_wasserstein_analytic_shift(shift: float) -> None:
+    rng = np.random.default_rng(RANDOM_SEED)
+    d1 = rng.random((N_SAMPLES, MAX_LEN, N_CHANNELS))
+    d2 = rng.random((N_SAMPLES, MAX_LEN, N_CHANNELS)) + shift
+
+    mw = MarginalWasserstein(
+        original_samples=d1, random_seed=RANDOM_SEED, save_all_distances=True
+    )
+    metrics = mw(d2)
+    all_d = np.array(metrics["marginal_wasserstein_all"])
+    assert abs(metrics["marginal_wasserstein_mean"] - np.mean(all_d)) <= 1e-5
+    assert metrics["marginal_wasserstein_mean"] <= metrics["marginal_wasserstein_max"]
+    assert abs(metrics["marginal_wasserstein_mean"] - shift) <= 0.1
+    assert abs(metrics["marginal_wasserstein_max"] - shift) <= 0.1
+
+
+@pytest.mark.parametrize("shift", [0.0, 1.0])
+def test_sliced_wasserstein_shift(shift: float) -> None:
+    rng = np.random.default_rng(RANDOM_SEED)
+    d1 = rng.random((N_SAMPLES, MAX_LEN, N_CHANNELS))
+    d2 = rng.random((N_SAMPLES, MAX_LEN, N_CHANNELS)) + shift
+
+    sw = SlicedWasserstein(
+        original_samples=d1,
+        random_seed=RANDOM_SEED,
+        num_directions=NUM_DIRECTIONS,
+        save_all_distances=True,
+    )
+    metrics = sw(d2)
+    all_d = np.array(metrics["sliced_wasserstein_all"])
+    assert abs(metrics["sliced_wasserstein_mean"] - np.mean(all_d)) <= 1e-5
+    assert metrics["sliced_wasserstein_mean"] <= metrics["sliced_wasserstein_max"]
+    # For a shift s in R^d, sliced W2 over random directions has mean
+    # s * E|u . 1| <= s; at shift 0 the distance is near 0.
+    if shift == 0.0:
+        assert metrics["sliced_wasserstein_mean"] <= 0.1
+    else:
+        assert 0.3 <= metrics["sliced_wasserstein_mean"] <= shift * np.sqrt(MAX_LEN)
+
+
+def test_w2_exact_equal_sizes() -> None:
+    # W2 between two point sets of equal size = L2 of sorted diff.
+    x = np.array([[0.0, 1.0, 2.0]])
+    y = np.array([[1.0, 0.0, 5.0]])
+    d = w2_1d(x, y)
+    np.testing.assert_allclose(d, np.sqrt(np.mean([0.0, 0.0, 9.0])), rtol=1e-6)
+
+
+def test_w2_exact_unequal_sizes() -> None:
+    # n=2 vs m=1: quantile functions constant pieces; W2^2 =
+    # 0.5*(x1-y)^2 + 0.5*(x2-y)^2.
+    x = np.array([[0.0, 2.0]])
+    y = np.array([[1.0]])
+    d = w2_1d(x, y)
+    np.testing.assert_allclose(d, np.sqrt(0.5 * 1 + 0.5 * 1), rtol=1e-6)
+
+
+def test_w2_matches_pot_if_available() -> None:
+    ot = pytest.importorskip("ot")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=300)
+    y = rng.normal(size=170) + 0.5
+    ours = float(w2_1d(x[None], y[None])[0])
+    ref = float(np.sqrt(ot.emd2_1d(x, y)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_sliced_matches_pot_sliced_if_available() -> None:
+    ot = pytest.importorskip("ot")
+    rng = np.random.default_rng(RANDOM_SEED)
+    d1 = rng.random((N_SAMPLES, 2))
+    d2 = rng.random((N_SAMPLES, 2)) + 0.5
+    pot_est = ot.sliced.sliced_wasserstein_distance(
+        X_s=d2, X_t=d1, n_projections=NUM_DIRECTIONS, seed=RANDOM_SEED
+    )
+    ours = np.mean(sliced_w2(d1, d2, num_directions=NUM_DIRECTIONS, seed=RANDOM_SEED))
+    assert abs(ours - pot_est) <= 0.1
+
+
+def test_metric_collection_keys_and_sorting() -> None:
+    rng = np.random.default_rng(0)
+    orig = rng.normal(size=(200, 10, 2)).astype(np.float32)
+    other = rng.normal(size=(100, 10, 2)).astype(np.float32)
+
+    factories = [
+        lambda o: SlicedWasserstein(o, random_seed=RANDOM_SEED, num_directions=20),
+        lambda o: MarginalWasserstein(o, random_seed=RANDOM_SEED),
+    ]
+    coll = MetricCollection(
+        factories, orig, include_baselines=True, include_spectral_density=True
+    )
+    results = coll(other)
+    keys = list(results)
+    assert keys == sorted(keys)
+    for prefix in ("time_", "freq_"):
+        for base in (
+            "sliced_wasserstein_mean",
+            "sliced_wasserstein_max",
+            "marginal_wasserstein_mean",
+            "marginal_wasserstein_max",
+            "sliced_wasserstein_mean_self",
+            "sliced_wasserstein_mean_dummy",
+        ):
+            assert f"{prefix}{base}" in results, f"{prefix}{base} missing"
+    assert "spectral_marginal_wasserstein_mean" in results
+    assert "spectral_marginal_wasserstein_all" in results

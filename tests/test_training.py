@@ -1,0 +1,110 @@
+"""Training-loop tests: smoke fit on the dummy datamodule with parameter
+changes (mirrors the reference's per-backbone 1-epoch training check,
+``tests/test_score_models.py:63-89``), loss decrease, checkpointing,
+and data-parallel training on the virtual 8-device mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fourierdiffusion_tpu.data.datamodules import DummyDatamodule
+from fourierdiffusion_tpu.models import ScoreModelConfig
+from fourierdiffusion_tpu.schedulers import VEScheduler, VPScheduler
+from fourierdiffusion_tpu.training.trainer import Trainer
+from fourierdiffusion_tpu.utils.checkpoint import (
+    BestCheckpointCallback,
+    get_best_checkpoint,
+    load_checkpoint,
+)
+
+CHANNELS = 2
+MAX_LEN = 16
+BATCH = 32
+
+
+def _datamodule(**kw) -> DummyDatamodule:
+    dm = DummyDatamodule(
+        batch_size=BATCH, n_channels=CHANNELS, max_len=MAX_LEN, **kw
+    )
+    dm.prepare_data()
+    dm.setup()
+    return dm
+
+
+def _tiny_model(model_type: str = "mlp"):
+    return ScoreModelConfig(
+        model_type=model_type, d_model=16, num_layers=1, n_head=2, d_mlp=32
+    ).build(n_channels=CHANNELS, max_len=MAX_LEN)
+
+
+@pytest.mark.parametrize("model_type", ["transformer", "mlp", "lstm"])
+def test_fit_changes_every_param(model_type: str) -> None:
+    dm = _datamodule(standardize=True)
+    model = _tiny_model(model_type)
+    trainer = Trainer(model, VPScheduler(), max_epochs=1, lr_max=1e-3)
+
+    x = dm.train_arrays().standardized()
+    init_vars = model.init(jax.random.PRNGKey(0), x[:1], jnp.zeros((1,)))
+    before = jax.tree_util.tree_map(np.asarray, init_vars["params"])
+
+    state = trainer.fit(dm, init_variables=init_vars)
+    after = state.params
+
+    changed = jax.tree_util.tree_map(
+        lambda a, b: not np.allclose(a, np.asarray(b)), before, after
+    )
+    for path, did_change in jax.tree_util.tree_leaves_with_path(changed):
+        assert did_change, f"param {jax.tree_util.keystr(path)} did not change"
+    # The frozen GFP W must NOT change.
+    np.testing.assert_array_equal(
+        np.asarray(init_vars["constants"]["time_encoder"]["W"]),
+        np.asarray(state.constants["time_encoder"]["W"]),
+    )
+
+
+@pytest.mark.parametrize("scheduler", [VPScheduler(), VEScheduler()])
+def test_loss_decreases(scheduler) -> None:
+    dm = _datamodule(standardize=True)
+    trainer = Trainer(_tiny_model(), scheduler, max_epochs=10, lr_max=1e-3, seed=1)
+    trainer.fit(dm)
+    losses = [h["train/loss"] for h in trainer.history]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"no improvement: {losses[0]} -> {losses[-1]}"
+
+
+def test_checkpoint_roundtrip(tmp_path) -> None:
+    dm = _datamodule(standardize=True)
+    model = _tiny_model()
+    cb = BestCheckpointCallback(tmp_path / "checkpoints")
+    trainer = Trainer(model, VPScheduler(), max_epochs=3, lr_max=1e-3, callbacks=(cb,))
+    state = trainer.fit(dm)
+
+    best = get_best_checkpoint(tmp_path / "checkpoints")
+    restored = load_checkpoint(best)
+    # Restored params produce identical scores to (some epoch's) params;
+    # at minimum the structure matches and values are finite.
+    x = dm.train_arrays().standardized()[:4]
+    t = jnp.full((4,), 0.5)
+    out = model.apply(
+        {"params": restored["params"], "constants": restored["constants"]}, x, t
+    )
+    assert out.shape == (4, MAX_LEN, CHANNELS)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # Best-checkpoint selection: only one kept, named epoch=...-val_loss=...
+    assert best.name.startswith("epoch=")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_data_parallel_training_matches_shapes() -> None:
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()), axis_names=("data",))
+    dm = _datamodule(standardize=True)
+    trainer = Trainer(_tiny_model(), VPScheduler(), max_epochs=2, lr_max=1e-3, mesh=mesh)
+    state = trainer.fit(dm)
+    assert all(np.isfinite(h["train/loss"]) for h in trainer.history)
+    # Replicated state: every leaf is fully addressable on all devices.
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
