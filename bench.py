@@ -29,7 +29,7 @@ def main() -> None:
     from fourierdiffusion_tpu.sampling.sampler import make_sample_fn
     from fourierdiffusion_tpu.schedulers import VPScheduler
 
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
     max_len, n_channels = 187, 1
 
@@ -51,10 +51,18 @@ def main() -> None:
     )
 
     # Warmup / compile.
-    fn(variables, jax.random.PRNGKey(1)).block_until_ready()
+    import sys
+
+    t_c = time.perf_counter()
+    np_out = __import__("numpy").asarray(fn(variables, jax.random.PRNGKey(1)))
+    print(
+        f"# warmup (compile+run): {time.perf_counter() - t_c:.1f}s, "
+        f"finite={bool(__import__('numpy').isfinite(np_out).all())}",
+        file=sys.stderr,
+    )
 
     t0 = time.perf_counter()
-    n_batches = 2
+    n_batches = 1 if steps >= 1000 else 2
     for i in range(n_batches):
         out = fn(variables, jax.random.PRNGKey(2 + i))
     out.block_until_ready()

@@ -36,7 +36,12 @@ def torch_linear_bias_init(key, shape, dtype, fan_in: int):
 
 
 class TorchLinear(nn.Module):
-    """``nn.Dense`` with torch's default initialization."""
+    """``nn.Dense`` with torch's default initialization.
+
+    ``dtype=None`` keeps the input's dtype (params are stored fp32 and
+    cast to the computation dtype at use, so bf16 activations run bf16
+    matmuls on the MXU).
+    """
 
     features: int
     use_bias: bool = True
@@ -45,10 +50,11 @@ class TorchLinear(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         fan_in = x.shape[-1]
+        dtype = self.dtype if self.dtype is not None else x.dtype
         kernel = self.param(
             "kernel", torch_linear_kernel_init, (fan_in, self.features), jnp.float32
         )
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
         if self.use_bias:
             bias = self.param(
                 "bias",
@@ -56,7 +62,7 @@ class TorchLinear(nn.Module):
                 (self.features,),
                 jnp.float32,
             )
-            y = y + bias.astype(self.dtype)
+            y = y + bias.astype(dtype)
         return y
 
 

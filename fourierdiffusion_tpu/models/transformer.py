@@ -40,7 +40,10 @@ class TransformerEncoderLayer(nn.Module):
         attn_out = nn.Dropout(self.dropout_rate, name="dropout1")(
             attn_out, deterministic=deterministic
         )
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn_out)
+        # LN statistics in fp32 for stability, output cast back so the
+        # surrounding matmuls stay in the computation dtype (bf16).
+        dtype = x.dtype
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn_out).astype(dtype)
 
         h = TorchLinear(self.dim_feedforward, name="linear1")(x)
         h = nn.relu(h)
@@ -51,7 +54,7 @@ class TransformerEncoderLayer(nn.Module):
         h = nn.Dropout(self.dropout_rate, name="dropout2")(
             h, deterministic=deterministic
         )
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h).astype(dtype)
 
 
 class TransformerEncoder(nn.Module):

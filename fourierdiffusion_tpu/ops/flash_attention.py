@@ -43,16 +43,29 @@ def _head_slice(ref, h: int):
     return ref[0, h * DH_PAD : (h + 1) * DH_PAD, :]
 
 
-def _softmax_fp32(s: Array, l_valid: int) -> Array:
-    """Row softmax over lanes with key positions >= l_valid masked out."""
+def _softmax_fp32(s: Array, l_valid: int, fast: bool = False) -> Array:
+    """Row softmax over lanes with key positions >= l_valid masked out.
+
+    With ``fast`` (used for bf16 inputs, i.e. the sampling hot path) the
+    exponential and normalization run in bf16 after the fp32 max
+    subtraction — post-subtraction values lie in [-inf, 0] so exp is in
+    [0, 1] and bf16 is numerically safe for attention probabilities;
+    this halves the VPU transcendental/vector cost that dominates
+    short-sequence attention.
+    """
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
     s = jnp.where(col < l_valid, s, -1e30)
     m = jnp.max(s, axis=1, keepdims=True)
+    if fast:
+        p = jnp.exp((s - m).astype(jnp.bfloat16))
+        r = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+        return p * pl.reciprocal(r, approx=True).astype(jnp.bfloat16)
     p = jnp.exp(s - m)
     return p / jnp.sum(p, axis=1, keepdims=True)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int, l_valid: int, scale: float):
+    fast = q_ref.dtype == jnp.bfloat16
     for h in range(n_head):
         qh = _head_slice(q_ref, h)  # (dh_pad, Lp)
         kh = _head_slice(k_ref, h)
@@ -61,7 +74,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int, l_valid: int, scale:
         s = jax.lax.dot_general(
             qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        p = _softmax_fp32(s, l_valid).astype(vh.dtype)
+        p = _softmax_fp32(s, l_valid, fast=fast).astype(vh.dtype)
         # O[d, i] = sum_j v[d, j] P[i, j]
         o_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = jax.lax.dot_general(
             vh, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
