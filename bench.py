@@ -11,7 +11,8 @@ Baseline: the north-star target is 10k samples in <60s on a v5e-8
 ``vs_baseline`` is measured samples/s on this single chip divided by
 that per-chip target (>1 beats the target).
 
-Prints ONE JSON line.
+Prints ONE JSON line. ``BENCH_MODE=train`` instead measures training
+steps/sec (ECG-shaped workload, batch 64, the second BASELINE metric).
 """
 
 from __future__ import annotations
@@ -24,7 +25,38 @@ import jax
 import jax.numpy as jnp
 
 
+def bench_train() -> None:
+    """Train-step throughput on the flagship config (batch 64, fp32)."""
+    from fourierdiffusion_tpu.data.datamodules import DummyDatamodule
+    from fourierdiffusion_tpu.models import ScoreModelConfig
+    from fourierdiffusion_tpu.schedulers import VPScheduler
+    from fourierdiffusion_tpu.training.trainer import Trainer
+
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    dm = DummyDatamodule(batch_size=batch, n_channels=1, max_len=187, standardize=True)
+    dm.prepare_data()
+    dm.setup()
+    model = ScoreModelConfig(model_type="transformer").build(1, 187)
+    trainer = Trainer(model, VPScheduler(fourier_noise_scaling=True), max_epochs=3)
+    trainer.fit(dm)
+    # First epoch includes compile; report the best epoch.
+    steps_per_sec = max(h["steps_per_sec"] for h in trainer.history)
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_sec",
+                "value": round(steps_per_sec, 2),
+                "unit": "steps/s/chip",
+                "vs_baseline": 0.0,  # reference publishes no training throughput
+            }
+        )
+    )
+
+
 def main() -> None:
+    if os.environ.get("BENCH_MODE") == "train":
+        bench_train()
+        return
     from fourierdiffusion_tpu.models import ScoreModelConfig
     from fourierdiffusion_tpu.sampling.sampler import make_sample_fn
     from fourierdiffusion_tpu.schedulers import VPScheduler
