@@ -43,29 +43,17 @@ def _head_slice(ref, h: int):
     return ref[0, h * DH_PAD : (h + 1) * DH_PAD, :]
 
 
-def _softmax_fp32(s: Array, l_valid: int, fast: bool = False) -> Array:
-    """Row softmax over lanes with key positions >= l_valid masked out.
-
-    With ``fast`` (used for bf16 inputs, i.e. the sampling hot path) the
-    exponential and normalization run in bf16 after the fp32 max
-    subtraction — post-subtraction values lie in [-inf, 0] so exp is in
-    [0, 1] and bf16 is numerically safe for attention probabilities;
-    this halves the VPU transcendental/vector cost that dominates
-    short-sequence attention.
-    """
+def _softmax_fp32(s: Array, l_valid: int) -> Array:
+    """Exact row softmax over lanes with key positions >= l_valid masked
+    out (used by the fp32 forward and the backward recomputation)."""
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
     s = jnp.where(col < l_valid, s, -1e30)
     m = jnp.max(s, axis=1, keepdims=True)
-    if fast:
-        p = jnp.exp((s - m).astype(jnp.bfloat16))
-        r = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
-        return p * pl.reciprocal(r, approx=True).astype(jnp.bfloat16)
     p = jnp.exp(s - m)
     return p / jnp.sum(p, axis=1, keepdims=True)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int, l_valid: int, scale: float):
-    fast = q_ref.dtype == jnp.bfloat16
     for h in range(n_head):
         qh = _head_slice(q_ref, h)  # (dh_pad, Lp)
         kh = _head_slice(k_ref, h)
@@ -74,8 +62,45 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int, l_valid: int, scale:
         s = jax.lax.dot_general(
             qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        p = _softmax_fp32(s, l_valid, fast=fast).astype(vh.dtype)
+        p = _softmax_fp32(s, l_valid).astype(vh.dtype)
         # O[d, i] = sum_j v[d, j] P[i, j]
+        o_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = jax.lax.dot_general(
+            vh, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+# Safe clamp for the max-free fast softmax: softmax is invariant to any
+# constant shift, so the max pass is only numerically necessary when
+# |score| could approach exp's overflow. exp(+-60) stays comfortably
+# inside bf16/fp32 range; trained attention scores at these scales are
+# O(10), so the clamp is inactive in practice.
+_SCORE_CLAMP = 60.0
+_MASK_BIAS = 1e9  # k bias-row value; after clamp -> exp(-60) ~ 0
+
+
+def _fast_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int):
+    """Throughput-oriented forward (bf16 sampling hot path).
+
+    Vector-op diet per head: the score scale is pre-multiplied into q
+    by the wrapper, key-position masking rides a bias row baked into
+    the packed K (no per-head iota/where),
+    the max pass is replaced by a static clamp, the softmax denominator
+    is an MXU ones-matmul, and normalization uses the approximate
+    reciprocal. ~5 VPU ops per head instead of ~15.
+    """
+    ones = jnp.ones((o_ref.shape[-1], 1), jnp.float32)
+    for h in range(n_head):
+        qh = _head_slice(q_ref, h)
+        kh = _head_slice(k_ref, h)
+        vh = _head_slice(v_ref, h)
+        s = jax.lax.dot_general(
+            qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        e = jnp.exp(jnp.clip(s, -_SCORE_CLAMP, _SCORE_CLAMP))
+        denom = jax.lax.dot_general(
+            e, ones, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Lp, 1)
+        p = (e * pl.reciprocal(denom, approx=True)).astype(vh.dtype)
         o_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = jax.lax.dot_general(
             vh, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
@@ -163,10 +188,25 @@ def _interpret() -> bool:
 def _fwd_call(q: Array, k: Array, v: Array) -> Array:
     b, h, l, dh = q.shape
     scale = 1.0 / math.sqrt(dh)
-    qp, kp, vp = _pack(q), _pack(k), _pack(v)
+    fast = q.dtype == jnp.bfloat16 and dh < DH_PAD
+    if fast:
+        # Pre-scale q; bake masking into spare sublane DH_PAD-1: the q
+        # bias row is 1 and the k bias row is -_MASK_BIAS at padded key
+        # positions, so S picks up the mask through the same matmul.
+        qp = _pack(q * scale)
+        kp, vp = _pack(k), _pack(v)
+        lp = qp.shape[2]
+        qp = qp.at[:, DH_PAD - 1 :: DH_PAD, :].set(1.0)
+        mask_row = jnp.where(
+            jnp.arange(lp) < l, 0.0, -_MASK_BIAS
+        ).astype(k.dtype)
+        kp = kp.at[:, DH_PAD - 1 :: DH_PAD, :].set(mask_row[None, None, :])
+        kernel = functools.partial(_fast_fwd_kernel, n_head=h)
+    else:
+        qp, kp, vp = _pack(q), _pack(k), _pack(v)
+        kernel = functools.partial(_fwd_kernel, n_head=h, l_valid=l, scale=scale)
     rows, lp = qp.shape[1], qp.shape[2]
     in_specs, out_spec = _block_specs(3, rows, lp)
-    kernel = functools.partial(_fwd_kernel, n_head=h, l_valid=l, scale=scale)
     out = pl.pallas_call(
         kernel,
         grid=(b,),

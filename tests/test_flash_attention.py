@@ -58,3 +58,20 @@ def test_jit_and_grad_compose() -> None:
     g = jax.jit(jax.grad(loss))(q, k, v)
     assert g.shape == q.shape
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_bf16_fast_path_matches_reference() -> None:
+    """The max-free bf16 fast path (clamp + bias-row masking) stays
+    within bf16 tolerance of the exact softmax, including masked tails
+    (L=187 exercises 69 padded key positions)."""
+    q, k, v = (
+        jax.random.normal(jax.random.PRNGKey(i), (3, 12, 187, 6), jnp.bfloat16)
+        for i in range(3)
+    )
+    out = flash_attention(q, k, v).astype(jnp.float32)
+    ref = dot_product_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2)
+    # Row-stochasticity proxy: outputs bounded by value range.
+    assert float(jnp.max(jnp.abs(out))) <= float(jnp.max(jnp.abs(v.astype(jnp.float32)))) + 1e-2

@@ -101,3 +101,18 @@ def test_sharded_sampling_on_mesh() -> None:
     )
     assert out.shape == (len(devices) * 4, MAX_LEN, CHANNELS)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_sampler_caches_compiled_program() -> None:
+    """Compile-count regression (SURVEY.md §4): repeated sampling with the
+    same (steps, batch) reuses one fused program; a new config adds one."""
+    model, variables = _model_and_vars()
+    sampler = DiffusionSampler(
+        model, VPScheduler(), max_len=MAX_LEN, n_channels=CHANNELS,
+        sample_batch_size=16,
+    )
+    sampler.sample(variables, jax.random.PRNGKey(0), 16, num_diffusion_steps=4)
+    sampler.sample(variables, jax.random.PRNGKey(1), 16, num_diffusion_steps=4)
+    assert len(sampler._fn_cache) == 1
+    sampler.sample(variables, jax.random.PRNGKey(2), 16, num_diffusion_steps=6)
+    assert len(sampler._fn_cache) == 2
