@@ -48,12 +48,15 @@ def make_data_mesh():
 
 
 class TrainingRunner:
-    def __init__(self, cfg: dict) -> None:
+    def __init__(self, cfg: dict, run_id: str | None = None) -> None:
         self.cfg = cfg
         logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
         logger.info("Training config:\n%s", dict_to_str(cfg))
 
-        wandb_writer, run_id = maybe_initialize_wandb(cfg)
+        if run_id is None:
+            wandb_writer, run_id = maybe_initialize_wandb(cfg)
+        else:
+            wandb_writer = None
         self.run_id = run_id
         self.run_dir = Path(cfg.get("run_dir", "runs")) / run_id
         self.run_dir.mkdir(parents=True, exist_ok=True)
@@ -116,23 +119,44 @@ class TrainingRunner:
             mesh=mesh,
             callbacks=tuple(callbacks),
             metrics_writer=writer,
+            save_last_dir=self.run_dir / "checkpoints",
         )
 
-    def train(self):
+    def train(self, resume_from=None):
         # Noise scaling without the Fourier transform would whiten the
         # wrong domain (reference guard, cmd/train.py:60-62).
         assert not (
             self.cfg["score_model"]["fourier_noise_scaling"]
             and not self.datamodule.fourier_transform
         ), "You cannot use noise scaling without the Fourier transform."
-        return self.trainer.fit(self.datamodule)
+        return self.trainer.fit(self.datamodule, resume_from=resume_from)
 
 
 def main(argv: list[str] | None = None) -> None:
     overrides = list(sys.argv[1:] if argv is None else argv)
-    cfg = compose("train", overrides)
-    runner = TrainingRunner(cfg)
-    runner.train()
+    # `resume=<run_id>` continues a previous run from its saved full
+    # training state (config reloaded from the run dir as-is).
+    resume_id = None
+    for ov in list(overrides):
+        if ov.startswith("resume="):
+            resume_id = ov.split("=", 1)[1]
+            overrides.remove(ov)
+    if resume_id is not None:
+        from fourierdiffusion_tpu.utils.config import load_config
+        from pathlib import Path as _P
+
+        run_dir_root = "runs"
+        for ov in overrides:
+            if ov.startswith("run_dir="):
+                run_dir_root = ov.split("=", 1)[1]
+        cfg = load_config(_P(run_dir_root) / resume_id / "train_config.yaml")
+        runner = TrainingRunner(cfg, run_id=resume_id)
+        last = runner.run_dir / "checkpoints" / "last"
+        runner.train(resume_from=last if last.exists() else None)
+    else:
+        cfg = compose("train", overrides)
+        runner = TrainingRunner(cfg)
+        runner.train()
     print(f"run_id={runner.run_id}")
 
 

@@ -86,6 +86,7 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         callbacks: tuple = (),
         metrics_writer=None,
+        save_last_dir=None,
     ) -> None:
         self.model = model
         self.scheduler = scheduler
@@ -97,6 +98,7 @@ class Trainer:
         self.mesh = mesh
         self.callbacks = callbacks
         self.metrics_writer = metrics_writer
+        self.save_last_dir = save_last_dir
         self.num_training_steps: int = 0
         self.state: Optional[TrainStateBundle] = None
 
@@ -203,6 +205,7 @@ class Trainer:
         datamodule: Datamodule,
         *,
         init_variables: Optional[FrozenDict] = None,
+        resume_from=None,
     ) -> TrainStateBundle:
         train_split = datamodule.train_arrays()
         val_split = datamodule.val_arrays()
@@ -235,6 +238,13 @@ class Trainer:
             params, constants, optimizer.init(params), jnp.zeros((), jnp.int32)
         )
 
+        start_epoch = 0
+        if resume_from is not None:
+            from fourierdiffusion_tpu.utils.checkpoint import restore_train_state
+
+            state, start_epoch = restore_train_state(resume_from, state)
+            logger.info("Resumed training state from %s (epoch %d)", resume_from, start_epoch)
+
         train_epoch, eval_epoch = self._make_epoch_fns(optimizer)
 
         if self.mesh is not None:
@@ -248,7 +258,7 @@ class Trainer:
         val_perm = val_perm.reshape(-1, datamodule.batch_size)
 
         history = []
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             ekey = jax.random.fold_in(fit_key, epoch)
             perm_key, scan_key, val_key = jax.random.split(ekey, 3)
             perm = self._epoch_permutation(perm_key, n, datamodule.batch_size)
@@ -276,6 +286,10 @@ class Trainer:
                 )
             for cb in self.callbacks:
                 cb(self, epoch, state.params, state.constants, metrics)
+            if self.save_last_dir is not None:
+                from fourierdiffusion_tpu.utils.checkpoint import save_train_state
+
+                save_train_state(self.save_last_dir, state, epoch)
 
         self.state = state
         self.history = history

@@ -67,12 +67,72 @@ def get_best_checkpoint(checkpoints_dir: Path) -> Path:
     for meta_path in checkpoints_dir.glob("*/metadata.json"):
         with open(meta_path) as f:
             meta = json.load(f)
+        if "val_loss" not in meta:  # e.g. the full-state "last" checkpoint
+            continue
         if meta["val_loss"] < best_loss:
             best_loss = meta["val_loss"]
             best = meta_path.parent
     if best is None:
         raise FileNotFoundError(f"No checkpoints under {checkpoints_dir}")
     return best
+
+
+def save_train_state(checkpoints_dir: Path, state, epoch: int) -> Path:
+    """Write the FULL training state (params + constants + optimizer
+    state + step) to ``<dir>/last`` for preemption-safe resume — a
+    capability the reference lacks (SURVEY.md §5 item 3: restart = rerun)."""
+    checkpoints_dir = Path(checkpoints_dir)
+    checkpoints_dir.mkdir(parents=True, exist_ok=True)
+    path = (checkpoints_dir / "last").resolve()
+    tmp = (checkpoints_dir / "last.tmp").resolve()
+    import shutil
+
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    # A kill during a previous save can leave orbax temp dirs behind.
+    for stale in checkpoints_dir.glob("*.orbax-checkpoint-tmp"):
+        shutil.rmtree(stale, ignore_errors=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            tmp,
+            {
+                "params": state.params,
+                "constants": state.constants,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            },
+            force=True,
+        )
+    with open(tmp / "metadata.json", "w") as f:
+        json.dump({"epoch": epoch}, f)
+    if path.exists():
+        shutil.rmtree(path)
+    tmp.rename(path)
+    return path
+
+
+def restore_train_state(last_dir: Path, template_state):
+    """Restore a ``save_train_state`` checkpoint into the same pytree
+    structure as ``template_state`` (needed so optax namedtuple states
+    round-trip). Returns ``(state, next_epoch)``."""
+    last_dir = Path(last_dir).resolve()
+    template = {
+        "params": template_state.params,
+        "constants": template_state.constants,
+        "opt_state": template_state.opt_state,
+        "step": template_state.step,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(last_dir, template)
+    with open(last_dir / "metadata.json") as f:
+        epoch = json.load(f)["epoch"]
+    state = type(template_state)(
+        params=restored["params"],
+        constants=restored["constants"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    return state, epoch + 1
 
 
 class BestCheckpointCallback:

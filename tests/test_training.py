@@ -108,3 +108,33 @@ def test_data_parallel_training_matches_shapes() -> None:
     # Replicated state: every leaf is fully addressable on all devices.
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_save_last_and_resume(tmp_path) -> None:
+    """Full-state resume (new capability vs the reference, SURVEY §5.3):
+    train 2 epochs with save-last, resume for 2 more, and check the
+    resumed run continues from the recorded epoch and step."""
+    from fourierdiffusion_tpu.utils.checkpoint import restore_train_state
+
+    dm = _datamodule(standardize=True)
+    model = _tiny_model()
+    t1 = Trainer(
+        model, VPScheduler(), max_epochs=2, lr_max=1e-3,
+        save_last_dir=tmp_path / "ckpts",
+    )
+    state1 = t1.fit(dm)
+    assert (tmp_path / "ckpts" / "last").exists()
+
+    t2 = Trainer(
+        model, VPScheduler(), max_epochs=4, lr_max=1e-3,
+        save_last_dir=tmp_path / "ckpts",
+    )
+    state2 = t2.fit(dm, resume_from=tmp_path / "ckpts" / "last")
+    # 2 fresh epochs of 10 steps each on top of the restored 20.
+    assert int(state2.step) == 40
+    assert len(t2.history) == 2
+    assert t2.history[0]["epoch"] == 2
+    # And the persisted state reflects the final epoch.
+    restored, next_epoch = restore_train_state(tmp_path / "ckpts" / "last", state2)
+    assert next_epoch == 4
+    assert int(restored.step) == 40
