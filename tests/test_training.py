@@ -138,3 +138,28 @@ def test_save_last_and_resume(tmp_path) -> None:
     restored, next_epoch = restore_train_state(tmp_path / "ckpts" / "last", state2)
     assert next_epoch == 4
     assert int(restored.step) == 40
+
+
+def test_cosine_warmup_schedule_matches_reference_formula() -> None:
+    """The LR schedule must match diffusers get_cosine_schedule_with_warmup
+    (reference score_models.py:122-130): linear warmup then
+    0.5*(1+cos(pi*progress)) decay, stepped per optimizer step."""
+    import math
+
+    from fourierdiffusion_tpu.training.optim import cosine_warmup_schedule
+
+    lr_max, total = 1e-3, 1000
+    warmup = total // 10
+    sched = cosine_warmup_schedule(lr_max, total)
+
+    def reference(step: int) -> float:
+        if step < warmup:
+            return lr_max * step / max(1, warmup)
+        progress = (step - warmup) / max(1, total - warmup)
+        return lr_max * max(0.0, 0.5 * (1.0 + math.cos(math.pi * progress)))
+
+    for step in [0, 1, 50, 100, 101, 500, 900, 999]:
+        np.testing.assert_allclose(
+            float(sched(step)), reference(step), rtol=2e-2, atol=1e-6,
+            err_msg=f"step {step}",
+        )
