@@ -120,6 +120,9 @@ class TrainingRunner:
             callbacks=tuple(callbacks),
             metrics_writer=writer,
             save_last_dir=self.run_dir / "checkpoints",
+            accumulate_grad_batches=int(
+                trainer_cfg.get("accumulate_grad_batches", 1)
+            ),
         )
 
     def train(self, resume_from=None):

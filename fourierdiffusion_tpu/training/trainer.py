@@ -87,6 +87,7 @@ class Trainer:
         callbacks: tuple = (),
         metrics_writer=None,
         save_last_dir=None,
+        accumulate_grad_batches: int = 1,
     ) -> None:
         self.model = model
         self.scheduler = scheduler
@@ -99,6 +100,7 @@ class Trainer:
         self.callbacks = callbacks
         self.metrics_writer = metrics_writer
         self.save_last_dir = save_last_dir
+        self.accumulate_grad_batches = accumulate_grad_batches
         self.num_training_steps: int = 0
         self.state: Optional[TrainStateBundle] = None
 
@@ -213,7 +215,11 @@ class Trainer:
         x_val = val_split.standardized()
         n = x_train.shape[0]
         steps_per_epoch = datamodule.steps_per_epoch
-        self.num_training_steps = steps_per_epoch * self.max_epochs
+        # Optimizer steps (reference extraction.py:12-17): micro-steps /
+        # accumulation factor scales the LR schedule length.
+        self.num_training_steps = (
+            steps_per_epoch * self.max_epochs // self.accumulate_grad_batches
+        )
 
         key = jax.random.PRNGKey(self.seed)
         init_key, fit_key = jax.random.split(key)
@@ -233,6 +239,10 @@ class Trainer:
             self.num_training_steps,
             gradient_clip_val=self.gradient_clip_val,
         )
+        if self.accumulate_grad_batches > 1:
+            optimizer = optax.MultiSteps(
+                optimizer, every_k_schedule=self.accumulate_grad_batches
+            )
         schedule = cosine_warmup_schedule(self.lr_max, self.num_training_steps)
         state = TrainStateBundle(
             params, constants, optimizer.init(params), jnp.zeros((), jnp.int32)

@@ -163,3 +163,18 @@ def test_cosine_warmup_schedule_matches_reference_formula() -> None:
             float(sched(step)), reference(step), rtol=2e-2, atol=1e-6,
             err_msg=f"step {step}",
         )
+
+
+def test_gradient_accumulation() -> None:
+    """accumulate_grad_batches wraps the optimizer in optax.MultiSteps:
+    params change only every k micro-steps; the LR schedule length
+    shrinks by k (reference extraction.py:12-17)."""
+    dm = _datamodule(standardize=True)
+    trainer = Trainer(
+        _tiny_model(), VPScheduler(), max_epochs=2, lr_max=1e-3,
+        accumulate_grad_batches=2,
+    )
+    trainer.fit(dm)
+    # 10 micro-steps/epoch, k=2 -> 10 optimizer steps over 2 epochs.
+    assert trainer.num_training_steps == 10
+    assert all(np.isfinite(h["train/loss"]) for h in trainer.history)
