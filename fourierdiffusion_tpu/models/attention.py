@@ -16,7 +16,6 @@ Two execution paths share one weight layout:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -15,7 +15,6 @@ footprint) and, when a mesh is provided, sharded across devices over the
 from __future__ import annotations
 
 import logging
-from functools import partial
 from typing import Optional
 
 import jax

@@ -18,7 +18,6 @@ same user-facing surface:
 
 from __future__ import annotations
 
-import copy
 import re
 from pathlib import Path
 from typing import Any
