@@ -82,6 +82,18 @@ class MultiHeadSelfAttention(nn.Module):
             from fourierdiffusion_tpu.ops.flash_attention import flash_attention
 
             out = flash_attention(q, k, v)
+        elif use_pallas and needs_dropout:
+            # Training on TPU: dropout on the attention weights happens
+            # inside the kernel (mask regenerated in the backward pass
+            # from the same seed) so scores never touch HBM.
+            from fourierdiffusion_tpu.ops.flash_attention import (
+                flash_attention_dropout,
+            )
+
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
+            ).astype(jnp.int32)
+            out = flash_attention_dropout(q, k, v, seed, self.dropout_rate)
         else:
             rng = self.make_rng("dropout") if needs_dropout else None
             out = dot_product_attention(

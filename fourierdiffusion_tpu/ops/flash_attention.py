@@ -252,3 +252,173 @@ def _flash_bwd(res, do):
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Training path: fused attention with in-kernel attention-weight dropout
+# (torch MultiheadAttention semantics: dropout on the normalized probs).
+# The keep mask is regenerated in the backward kernel from the same
+# per-program seed, so nothing but Q/K/V/O crosses HBM during training
+# either.
+# ---------------------------------------------------------------------------
+
+
+def _keep_scale(shape, rate: float, seed, h: int) -> Array:
+    """Mask/(1-rate) matrix. Reseeded per (seed, program, head) so the
+    mask is a pure function of position — the forward and backward
+    kernels regenerate identical masks regardless of how the compiler
+    schedules the stateful PRNG calls."""
+    pltpu.prng_seed(seed + pl.program_id(0) * 131071 + h)
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(int((1.0 - rate) * (2**32 - 1)))
+    return jnp.where(
+        pltpu.bitcast(bits, jnp.uint32) < threshold, 1.0 / (1.0 - rate), 0.0
+    ).astype(jnp.float32)
+
+
+def _dropout_fwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, o_ref,
+    *, n_head: int, l_valid: int, scale: float, rate: float,
+):
+    for h in range(n_head):
+        qh = _head_slice(q_ref, h)
+        kh = _head_slice(k_ref, h)
+        vh = _head_slice(v_ref, h)
+        s = jax.lax.dot_general(
+            qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = _softmax_fp32(s, l_valid) * _keep_scale(s.shape, rate, seed_ref[0], h)
+        o_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = jax.lax.dot_general(
+            vh, p.astype(vh.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _dropout_bwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, n_head: int, l_valid: int, scale: float, rate: float,
+):
+    for h in range(n_head):
+        qh = _head_slice(q_ref, h)
+        kh = _head_slice(k_ref, h)
+        vh = _head_slice(v_ref, h)
+        doh = _head_slice(do_ref, h)
+
+        s = jax.lax.dot_general(
+            qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = _softmax_fp32(s, l_valid)
+        keep = _keep_scale(s.shape, rate, seed_ref[0], h)  # same (seed, program, head)
+        p_drop = (p * keep).astype(vh.dtype)
+
+        oh = jax.lax.dot_general(
+            vh, p_drop, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        do_f32 = doh.astype(jnp.float32)
+        d_col = jax.lax.dot_general(
+            do_f32 * oh,
+            jnp.ones((DH_PAD, 1), jnp.float32),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP (w.r.t. pre-dropout probs) picks up the mask scaling.
+        dp = jax.lax.dot_general(
+            doh, vh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * keep
+        ds = (p * (dp - d_col)).astype(qh.dtype)
+
+        dq_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = (
+            jax.lax.dot_general(
+                kh, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        ).astype(dq_ref.dtype)
+        dk_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = (
+            jax.lax.dot_general(
+                qh, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        ).astype(dk_ref.dtype)
+        dv_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = jax.lax.dot_general(
+            doh, p_drop, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+
+
+def _prefetch_block_specs(n: int, rows: int, lp: int):
+    # Index maps under PrefetchScalarGridSpec receive the scalar ref too.
+    spec = pl.BlockSpec(
+        (1, rows, lp), lambda b, seed_ref: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    return [spec] * n, spec
+
+
+def _dropout_fwd_call(q, k, v, seed, rate: float):
+    b, h, l, dh = q.shape
+    scale = 1.0 / math.sqrt(dh)
+    qp, kp, vp = _pack(q), _pack(k), _pack(v)
+    rows, lp = qp.shape[1], qp.shape[2]
+    in_specs, out_spec = _prefetch_block_specs(3, rows, lp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+    )
+    kernel = functools.partial(
+        _dropout_fwd_kernel, n_head=h, l_valid=l, scale=scale, rate=rate
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        interpret=_interpret(),
+    )(jnp.asarray([seed], jnp.int32).reshape(1), qp, kp, vp)
+    return _unpack(out, h, l, dh)
+
+
+def _dropout_bwd_call(q, k, v, seed, rate: float, do):
+    b, h, l, dh = q.shape
+    scale = 1.0 / math.sqrt(dh)
+    qp, kp, vp, dop = _pack(q), _pack(k), _pack(v), _pack(do)
+    rows, lp = qp.shape[1], qp.shape[2]
+    in_specs, out_spec = _prefetch_block_specs(4, rows, lp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=(out_spec,) * 3,
+    )
+    kernel = functools.partial(
+        _dropout_bwd_kernel, n_head=h, l_valid=l, scale=scale, rate=rate
+    )
+    dqp, dkp, dvp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct(qp.shape, q.dtype) for _ in range(3)),
+        interpret=_interpret(),
+    )(jnp.asarray([seed], jnp.int32).reshape(1), qp, kp, vp, dop)
+    return tuple(_unpack(t, h, l, dh) for t in (dqp, dkp, dvp))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention_dropout(
+    q: Array, k: Array, v: Array, seed: Array, rate: float
+) -> Array:
+    """Fused attention with dropout on the attention weights (training)."""
+    return _dropout_fwd_call(q, k, v, seed, rate)
+
+
+def _flash_drop_fwd(q, k, v, seed, rate):
+    return _dropout_fwd_call(q, k, v, seed, rate), (q, k, v, seed)
+
+
+def _flash_drop_bwd(rate, res, do):
+    q, k, v, seed = res
+    dq, dk, dv = _dropout_bwd_call(q, k, v, seed, rate, do)
+    import numpy as _np
+
+    dseed = _np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, dseed
+
+
+flash_attention_dropout.defvjp(_flash_drop_fwd, _flash_drop_bwd)
