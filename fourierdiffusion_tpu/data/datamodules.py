@@ -195,13 +195,6 @@ def _kaggle_download(dataset: str, path: Path) -> None:
     kaggle.api.dataset_download_files(dataset, path=str(path), unzip=True)
 
 
-def _split_permutation(n: int, train_frac: float, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(seed)
-    perm = rng.permutation(n)
-    n_train = int(train_frac * n)
-    return perm[:n_train], perm[n_train:]
-
-
 class ECGDatamodule(Datamodule):
     """MIT-BIH heartbeat CSVs (kaggle ``shayanfazeli/heartbeat``):
     187-step univariate series + label column
