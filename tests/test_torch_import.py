@@ -16,6 +16,10 @@ torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 
 from fourierdiffusion_tpu.models import ScoreModelConfig  # noqa: E402
+# Import parity is exact at CPU fp32 precision; on real TPU, fp32 dots
+# run as bf16 passes on the MXU, so the achievable tolerance is coarser.
+ATOL = 2e-5 if jax.default_backend() != "tpu" else 1e-2
+
 from fourierdiffusion_tpu.utils.torch_import import (  # noqa: E402
     import_lstm_state_dict,
     import_mlp_state_dict,
@@ -108,7 +112,7 @@ def test_transformer_forward_parity() -> None:
         use_pallas=False,
     ).build(n_channels=C, max_len=L)
     ours = np.asarray(model.apply(variables, jnp.asarray(x.numpy()), jnp.asarray(t.numpy())))
-    np.testing.assert_allclose(ours, expected, atol=2e-5)
+    np.testing.assert_allclose(ours, expected, atol=ATOL)
 
 
 def test_mlp_forward_parity() -> None:
@@ -158,7 +162,7 @@ def test_mlp_forward_parity() -> None:
         model_type="mlp", d_model=D_MODEL, num_layers=N_LAYERS, d_mlp=d_mlp
     ).build(n_channels=C, max_len=L)
     ours = np.asarray(model.apply(variables, jnp.asarray(x.numpy()), jnp.asarray(t.numpy())))
-    np.testing.assert_allclose(ours, expected, atol=2e-5)
+    np.testing.assert_allclose(ours, expected, atol=ATOL)
 
 
 def test_lstm_forward_parity() -> None:
@@ -195,4 +199,4 @@ def test_lstm_forward_parity() -> None:
         model_type="lstm", d_model=D_MODEL, num_layers=N_LAYERS
     ).build(n_channels=C, max_len=L)
     ours = np.asarray(model.apply(variables, jnp.asarray(x.numpy()), jnp.asarray(t.numpy())))
-    np.testing.assert_allclose(ours, expected, atol=2e-5)
+    np.testing.assert_allclose(ours, expected, atol=ATOL)
