@@ -20,6 +20,9 @@ BATCH = 4
 MAX_LEN = 20
 CHANNELS = 3
 
+# Exact parity is a CPU contract; TPU fp32 dots run as bf16 MXU passes.
+PARITY_ATOL = 1e-5 if jax.default_backend() != "tpu" else 5e-3
+
 
 def _make(model_type: str):
     cfg = ScoreModelConfig(
@@ -111,7 +114,7 @@ def test_gfp_formula() -> None:
     dense_b = variables["params"]["dense"]["bias"]
     expected = feats @ np.asarray(dense_k) + np.asarray(dense_b)
     np.testing.assert_allclose(
-        np.asarray(out[:, 0, :]), expected, rtol=1e-5, atol=1e-6
+        np.asarray(out[:, 0, :]), expected, atol=PARITY_ATOL
     )
     # Broadcast over the sequence axis: every position gets the same bump.
     np.testing.assert_allclose(np.asarray(out[:, 3, :]), np.asarray(out[:, 0, :]))
@@ -138,4 +141,4 @@ def test_lstm_matches_torch() -> None:
         expected = t_lstm(torch.tensor(x))[0].numpy()
 
     ours = np.asarray(layer.apply(variables, jnp.asarray(x)))
-    np.testing.assert_allclose(ours, expected, atol=1e-5)
+    np.testing.assert_allclose(ours, expected, atol=PARITY_ATOL)
