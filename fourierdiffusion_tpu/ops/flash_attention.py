@@ -55,9 +55,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _heads(ref, n_head: int):
-    """(1, H*DH_PAD, Lp) block -> (H, DH_PAD, Lp) view."""
-    return ref[0].reshape(n_head, DH_PAD, ref.shape[-1])
+def _heads(ref, g0: int, g: int):
+    """(1, H*DH_PAD, Lp) block -> (g, DH_PAD, Lp) view of heads [g0, g0+g)."""
+    lp = ref.shape[-1]
+    return ref[0, g0 * DH_PAD : (g0 + g) * DH_PAD, :].reshape(g, DH_PAD, lp)
+
+
+_VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+
+
+def _head_group(n_head: int, lp: int, live_bytes_per_elem: int) -> int:
+    """Largest divisor of n_head whose per-group (g, Lp, Lp) fp32
+    intermediates fit the VMEM budget. At the flagship shapes
+    (H=12, Lp=256) this returns 12 (single group, no perf change);
+    long sequences (e.g. L=365 -> Lp=384) split so training fits VMEM.
+    """
+    g = n_head
+    while g > 1 and g * lp * lp * live_bytes_per_elem > _VMEM_BUDGET:
+        # next smaller divisor of n_head
+        g -= 1
+        while g > 1 and n_head % g:
+            g -= 1
+    return max(g, 1)
 
 
 def _softmax_exact(s: Array, l_valid: int) -> Array:
@@ -70,12 +89,20 @@ def _softmax_exact(s: Array, l_valid: int) -> Array:
     return p / jnp.sum(p, axis=2, keepdims=True)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int, l_valid: int, scale: float):
-    q, k, v = (_heads(r, n_head) for r in (q_ref, k_ref, v_ref))
-    s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32) * scale
-    p = _softmax_exact(s, l_valid).astype(v.dtype)
-    o = jax.lax.dot_general(v, p, _DOT_PV, preferred_element_type=jnp.float32)
-    o_ref[0] = o.reshape(n_head * DH_PAD, -1).astype(o_ref.dtype)
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int, l_valid: int,
+                scale: float, group: int):
+    for g0 in range(0, n_head, group):
+        q, k, v = (_heads(r, g0, group) for r in (q_ref, k_ref, v_ref))
+        s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32) * scale
+        p = _softmax_exact(s, l_valid).astype(v.dtype)
+        o = jax.lax.dot_general(v, p, _DOT_PV, preferred_element_type=jnp.float32)
+        o_ref[0, g0 * DH_PAD : (g0 + group) * DH_PAD, :] = o.reshape(
+            group * DH_PAD, -1
+        ).astype(o_ref.dtype)
+
+
+def _fast_group(n_head: int, lp: int) -> int:
+    return _head_group(n_head, lp, live_bytes_per_elem=12)
 
 
 def _fast_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int):
@@ -85,13 +112,17 @@ def _fast_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int):
     row baked into the packed K; the max pass is replaced by a static
     clamp; normalization uses the approximate reciprocal.
     """
-    q, k, v = (_heads(r, n_head) for r in (q_ref, k_ref, v_ref))
-    s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32)
-    e = jnp.exp(jnp.clip(s, -_SCORE_CLAMP, _SCORE_CLAMP))
-    denom = jnp.sum(e, axis=2, keepdims=True)
-    p = (e * pl.reciprocal(denom, approx=True)).astype(v.dtype)
-    o = jax.lax.dot_general(v, p, _DOT_PV, preferred_element_type=jnp.float32)
-    o_ref[0] = o.reshape(n_head * DH_PAD, -1).astype(o_ref.dtype)
+    group = _fast_group(n_head, q_ref.shape[-1])
+    for g0 in range(0, n_head, group):
+        q, k, v = (_heads(r, g0, group) for r in (q_ref, k_ref, v_ref))
+        s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32)
+        e = jnp.exp(jnp.clip(s, -_SCORE_CLAMP, _SCORE_CLAMP))
+        denom = jnp.sum(e, axis=2, keepdims=True)
+        p = (e * pl.reciprocal(denom, approx=True)).astype(v.dtype)
+        o = jax.lax.dot_general(v, p, _DOT_PV, preferred_element_type=jnp.float32)
+        o_ref[0, g0 * DH_PAD : (g0 + group) * DH_PAD, :] = o.reshape(
+            group * DH_PAD, -1
+        ).astype(o_ref.dtype)
 
 
 def _bwd_core(q, k, v, do, p, *, scale: float, keep: Array | None = None):
@@ -121,21 +152,29 @@ def _bwd_core(q, k, v, do, p, *, scale: float, keep: Array | None = None):
     return dq, dk, dv
 
 
-def _write_grads(dq_ref, dk_ref, dv_ref, dq, dk, dv, n_head: int):
-    dq_ref[0] = dq.reshape(n_head * DH_PAD, -1).astype(dq_ref.dtype)
-    dk_ref[0] = dk.reshape(n_head * DH_PAD, -1).astype(dk_ref.dtype)
-    dv_ref[0] = dv.reshape(n_head * DH_PAD, -1).astype(dv_ref.dtype)
+def _write_grads(dq_ref, dk_ref, dv_ref, dq, dk, dv, g0: int, g: int):
+    rows = slice(g0 * DH_PAD, (g0 + g) * DH_PAD)
+    dq_ref[0, rows, :] = dq.reshape(g * DH_PAD, -1).astype(dq_ref.dtype)
+    dk_ref[0, rows, :] = dk.reshape(g * DH_PAD, -1).astype(dk_ref.dtype)
+    dv_ref[0, rows, :] = dv.reshape(g * DH_PAD, -1).astype(dv_ref.dtype)
+
+
+def _bwd_group(n_head: int, lp: int) -> int:
+    # The backward holds ~4 (g, Lp, Lp) fp32 intermediates at once.
+    return _head_group(n_head, lp, live_bytes_per_elem=17)
 
 
 def _bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     *, n_head: int, l_valid: int, scale: float,
 ):
-    q, k, v, do = (_heads(r, n_head) for r in (q_ref, k_ref, v_ref, do_ref))
-    s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32) * scale
-    p = _softmax_exact(s, l_valid)
-    dq, dk, dv = _bwd_core(q, k, v, do, p, scale=scale)
-    _write_grads(dq_ref, dk_ref, dv_ref, dq, dk, dv, n_head)
+    group = _bwd_group(n_head, q_ref.shape[-1])
+    for g0 in range(0, n_head, group):
+        q, k, v, do = (_heads(r, g0, group) for r in (q_ref, k_ref, v_ref, do_ref))
+        s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32) * scale
+        p = _softmax_exact(s, l_valid)
+        dq, dk, dv = _bwd_core(q, k, v, do, p, scale=scale)
+        _write_grads(dq_ref, dk_ref, dv_ref, dq, dk, dv, g0, group)
 
 
 def _pack(x: Array) -> Array:
@@ -184,7 +223,10 @@ def _fwd_call(q: Array, k: Array, v: Array) -> Array:
         kernel = functools.partial(_fast_fwd_kernel, n_head=h)
     else:
         qp, kp, vp = _pack(q), _pack(k), _pack(v)
-        kernel = functools.partial(_fwd_kernel, n_head=h, l_valid=l, scale=scale)
+        kernel = functools.partial(
+            _fwd_kernel, n_head=h, l_valid=l, scale=scale,
+            group=_head_group(h, qp.shape[2], live_bytes_per_elem=12),
+        )
     rows, lp = qp.shape[1], qp.shape[2]
     in_specs, out_spec = _block_specs(3, rows, lp)
     out = pl.pallas_call(
@@ -243,12 +285,13 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _keep_scale(shape, rate: float, seed) -> Array:
-    """Mask/(1-rate) tensor for all heads in ONE hardware-PRNG call,
-    immediately after seeding per (seed, program) — a pure function of
+def _keep_scale(shape, rate: float, seed, offset: int = 0) -> Array:
+    """Mask/(1-rate) tensor for a head group in ONE hardware-PRNG call,
+    seeded per (seed, program, group offset) — a pure function of
     position, so the forward and backward kernels regenerate identical
-    masks regardless of how the compiler schedules stateful PRNG calls."""
-    pltpu.prng_seed(seed + pl.program_id(0))
+    masks regardless of how the compiler schedules stateful PRNG calls.
+    Forward and backward must use the SAME group partition."""
+    pltpu.prng_seed(seed + pl.program_id(0) * 131071 + offset)
     bits = pltpu.prng_random_bits(shape)
     threshold = jnp.uint32(int((1.0 - rate) * (2**32 - 1)))
     return jnp.where(
@@ -260,24 +303,30 @@ def _dropout_fwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, o_ref,
     *, n_head: int, l_valid: int, scale: float, rate: float,
 ):
-    q, k, v = (_heads(r, n_head) for r in (q_ref, k_ref, v_ref))
-    s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32) * scale
-    keep = _keep_scale(s.shape, rate, seed_ref[0])
-    p = (_softmax_exact(s, l_valid) * keep).astype(v.dtype)
-    o = jax.lax.dot_general(v, p, _DOT_PV, preferred_element_type=jnp.float32)
-    o_ref[0] = o.reshape(n_head * DH_PAD, -1).astype(o_ref.dtype)
+    group = _bwd_group(n_head, q_ref.shape[-1])  # shared with backward
+    for g0 in range(0, n_head, group):
+        q, k, v = (_heads(r, g0, group) for r in (q_ref, k_ref, v_ref))
+        s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32) * scale
+        keep = _keep_scale(s.shape, rate, seed_ref[0], g0)
+        p = (_softmax_exact(s, l_valid) * keep).astype(v.dtype)
+        o = jax.lax.dot_general(v, p, _DOT_PV, preferred_element_type=jnp.float32)
+        o_ref[0, g0 * DH_PAD : (g0 + group) * DH_PAD, :] = o.reshape(
+            group * DH_PAD, -1
+        ).astype(o_ref.dtype)
 
 
 def _dropout_bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     *, n_head: int, l_valid: int, scale: float, rate: float,
 ):
-    q, k, v, do = (_heads(r, n_head) for r in (q_ref, k_ref, v_ref, do_ref))
-    s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32) * scale
-    keep = _keep_scale(s.shape, rate, seed_ref[0])  # same (seed, program)
-    p = _softmax_exact(s, l_valid)
-    dq, dk, dv = _bwd_core(q, k, v, do, p, scale=scale, keep=keep)
-    _write_grads(dq_ref, dk_ref, dv_ref, dq, dk, dv, n_head)
+    group = _bwd_group(n_head, q_ref.shape[-1])  # same partition as forward
+    for g0 in range(0, n_head, group):
+        q, k, v, do = (_heads(r, g0, group) for r in (q_ref, k_ref, v_ref, do_ref))
+        s = jax.lax.dot_general(q, k, _DOT_S, preferred_element_type=jnp.float32) * scale
+        keep = _keep_scale(s.shape, rate, seed_ref[0], g0)
+        p = _softmax_exact(s, l_valid)
+        dq, dk, dv = _bwd_core(q, k, v, do, p, scale=scale, keep=keep)
+        _write_grads(dq_ref, dk_ref, dv_ref, dq, dk, dv, g0, group)
 
 
 def _prefetch_block_specs(n: int, rows: int, lp: int):
