@@ -11,7 +11,6 @@ itself routes to the fused Pallas kernel on TPU.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 from flax import linen as nn
 from jax import Array
 

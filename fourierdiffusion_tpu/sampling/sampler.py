@@ -19,13 +19,18 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fourierdiffusion_tpu.schedulers.sde import SDE
 
 logger = logging.getLogger(__name__)
+
+
+def _supports_fused(model) -> bool:
+    from fourierdiffusion_tpu.models.score_models import ScoreTransformer
+
+    return isinstance(model, ScoreTransformer)
 
 
 def make_sample_fn(
@@ -37,13 +42,24 @@ def make_sample_fn(
     max_len: int,
     n_channels: int,
     mesh: Optional[Mesh] = None,
+    fused: Optional[bool] = None,
 ):
     """Build the jitted fused sampling program.
 
     Returns ``sample(variables, key) -> (batch_size, max_len, n_channels)``.
+
+    ``fused=None`` auto-selects the fully-fused transposed-layout forward
+    (``models/fused.py``) for transformer score networks on TPU — the
+    per-step glue (LayerNorms, projections, layout shuffles) collapses
+    into one Pallas program per (chain, layer). ``fused=True/False``
+    forces the choice (tests exercise both paths on CPU interpret mode).
     """
     timesteps = scheduler.timesteps(num_diffusion_steps)
     step_size = scheduler.step_size(num_diffusion_steps)
+    if fused is None:
+        fused = _supports_fused(model) and jax.default_backend() == "tpu"
+    if fused and not _supports_fused(model):
+        raise ValueError(f"fused sampling unsupported for {type(model).__name__}")
 
     def sample(variables, key: Array) -> Array:
         prior_key, scan_key = jax.random.split(key)
@@ -55,10 +71,26 @@ def make_sample_fn(
                 x, NamedSharding(mesh, P("data"))
             )
 
+        if fused:
+            from fourierdiffusion_tpu.models.fused import (
+                fused_score_forward,
+                pack_score_transformer,
+            )
+
+            packed = pack_score_transformer(model, variables)
+
+            def score_fn(x: Array, t_vec: Array) -> Array:
+                return fused_score_forward(model, packed, x, t_vec)
+
+        else:
+
+            def score_fn(x: Array, t_vec: Array) -> Array:
+                return model.apply(variables, x, t_vec, deterministic=True)
+
         def body(x: Array, inputs):
             t, step_key = inputs
             t_vec = jnp.full((batch_size,), t, x.dtype)
-            score = model.apply(variables, x, t_vec, deterministic=True)
+            score = score_fn(x, t_vec)
             x = scheduler.step(step_key, score, t, x, step_size).prev_sample
             return x, None
 
@@ -127,6 +159,14 @@ class DiffusionSampler:
         num_batches = -(-num_samples // batch)
         outs = []
         for i in range(num_batches):
-            outs.append(fn(variables, jax.random.fold_in(key, i)))
+            out = fn(variables, jax.random.fold_in(key, i))
+            if jax.process_count() > 1:
+                # Multi-controller: batches come back sharded across
+                # processes; gather so downstream host-side metrics see
+                # the full batch on every process.
+                from fourierdiffusion_tpu.parallel.distributed import gather_to_host
+
+                out = jnp.asarray(gather_to_host(out))
+            outs.append(out)
         x = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
         return x[:num_samples]
