@@ -1,7 +1,9 @@
 """In-kernel attention-weight dropout (training path).
 
-These tests need the real TPU (the mask comes from the hardware PRNG);
-they are skipped on the CPU mesh. Run with FDIFF_TEST_TPU=1.
+On TPU the keep mask comes from the hardware PRNG; on CPU the kernel
+runs in interpret mode with a deterministic positional hash
+(``flash_attention._hash_bits``) so the forward/backward
+mask-reproducibility contract is exercised in CI too.
 """
 
 import math
@@ -9,10 +11,6 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
-
-if jax.default_backend() != "tpu":
-    pytest.skip("in-kernel PRNG requires TPU", allow_module_level=True)
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -39,6 +37,7 @@ def _extract_masks():
         mask_kernel,
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((B, H, LP, LP), jnp.float32),
+        interpret=fa._interpret(),
     )(jnp.asarray([SEED], jnp.int32))
     return jnp.asarray(np.asarray(keep)[:, :, :L, :L])
 
