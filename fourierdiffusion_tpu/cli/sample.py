@@ -70,13 +70,10 @@ class SamplingRunner:
             n_channels=params["n_channels"], max_len=params["max_len"]
         )
 
-        mesh = None
-        n_dev = len(jax.devices())
-        batch = int(cfg["sampler"]["sample_batch_size"])
-        if n_dev > 1 and batch % n_dev == 0:
-            from fourierdiffusion_tpu.cli.train import make_data_mesh
+        from fourierdiffusion_tpu.parallel import auto_data_mesh
 
-            mesh = make_data_mesh()
+        batch = int(cfg["sampler"]["sample_batch_size"])
+        mesh = auto_data_mesh(batch)
         self.sampler = DiffusionSampler(
             self.model,
             self.scheduler,
@@ -109,12 +106,15 @@ class SamplingRunner:
         self.random_seed = seed
 
     def sample(self) -> None:
-        x = self.sampler.sample(
-            self.variables,
-            jax.random.PRNGKey(self.random_seed),
-            num_samples=self.num_samples,
-            num_diffusion_steps=self.num_diffusion_steps,
-        )
+        from fourierdiffusion_tpu.utils.profiling import trace_if_enabled
+
+        with trace_if_enabled("sample"):
+            x = self.sampler.sample(
+                self.variables,
+                jax.random.PRNGKey(self.random_seed),
+                num_samples=self.num_samples,
+                num_diffusion_steps=self.num_diffusion_steps,
+            )
 
         if self.datamodule.standardize:
             mean, std = self.datamodule.feature_mean_and_std

@@ -20,9 +20,7 @@ import logging
 import sys
 from pathlib import Path
 
-import jax
-import numpy as np
-
+from fourierdiffusion_tpu.parallel import auto_data_mesh
 from fourierdiffusion_tpu.training.callbacks import SamplingCallback
 from fourierdiffusion_tpu.training.trainer import Trainer
 from fourierdiffusion_tpu.utils.checkpoint import BestCheckpointCallback
@@ -33,35 +31,43 @@ from fourierdiffusion_tpu.utils.instantiate import (
     build_scheduler,
 )
 from fourierdiffusion_tpu.utils.logging import JsonlWriter, MultiWriter, maybe_initialize_wandb
+from fourierdiffusion_tpu.utils.profiling import trace_if_enabled
 
 logger = logging.getLogger(__name__)
 
 
-def make_data_mesh():
-    """1-D ``data`` mesh over all visible devices (None if single device)."""
-    devices = jax.devices()
-    if len(devices) < 2:
-        return None
-    from jax.sharding import Mesh
-
-    return Mesh(np.array(devices), axis_names=("data",))
-
-
 class TrainingRunner:
     def __init__(self, cfg: dict, run_id: str | None = None) -> None:
+        import os
+
+        import jax
+
+        from fourierdiffusion_tpu.parallel.distributed import is_primary
+
         self.cfg = cfg
+        primary = is_primary()
         logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
-        logger.info("Training config:\n%s", dict_to_str(cfg))
+        if primary:
+            logger.info("Training config:\n%s", dict_to_str(cfg))
 
         if run_id is None:
-            wandb_writer, run_id = maybe_initialize_wandb(cfg)
+            if jax.process_count() > 1:
+                # Multi-controller: every process must agree on the run
+                # id without coordination — derive it deterministically.
+                run_id = os.environ.get(
+                    "FDIFF_RUN_ID", f"mh-{int(cfg.get('random_seed', 42)):06d}"
+                )
+                wandb_writer = None
+            else:
+                wandb_writer, run_id = maybe_initialize_wandb(cfg)
         else:
             wandb_writer = None
         self.run_id = run_id
         self.run_dir = Path(cfg.get("run_dir", "runs")) / run_id
-        self.run_dir.mkdir(parents=True, exist_ok=True)
-        save_config(cfg, self.run_dir / "train_config.yaml")
-        logger.info("Run directory: %s", self.run_dir)
+        if primary:
+            self.run_dir.mkdir(parents=True, exist_ok=True)
+            save_config(cfg, self.run_dir / "train_config.yaml")
+            logger.info("Run directory: %s", self.run_dir)
 
         self.datamodule = build_datamodule(cfg["datamodule"])
         self.datamodule.prepare_data()
@@ -74,11 +80,9 @@ class TrainingRunner:
             n_channels=params["n_channels"], max_len=params["max_len"]
         )
 
-        mesh = None
-        n_dev = len(jax.devices())
-        if n_dev > 1 and self.datamodule.batch_size % n_dev == 0:
-            mesh = make_data_mesh()
-            logger.info("Data-parallel over %d devices", n_dev)
+        mesh = auto_data_mesh(self.datamodule.batch_size)
+        if mesh is not None:
+            logger.info("Data-parallel over %d devices", mesh.size)
 
         writer = MultiWriter(JsonlWriter(self.run_dir), wandb_writer)
         trainer_cfg = cfg["trainer"]
@@ -123,6 +127,7 @@ class TrainingRunner:
             accumulate_grad_batches=int(
                 trainer_cfg.get("accumulate_grad_batches", 1)
             ),
+            ema_decay=float(trainer_cfg.get("ema_decay", 0.0)),
         )
 
     def train(self, resume_from=None):
@@ -132,10 +137,17 @@ class TrainingRunner:
             self.cfg["score_model"]["fourier_noise_scaling"]
             and not self.datamodule.fourier_transform
         ), "You cannot use noise scaling without the Fourier transform."
-        return self.trainer.fit(self.datamodule, resume_from=resume_from)
+        with trace_if_enabled("train"):
+            return self.trainer.fit(self.datamodule, resume_from=resume_from)
 
 
 def main(argv: list[str] | None = None) -> None:
+    # Multi-host (DCN): one process per host; must run before any other
+    # JAX call. No-op unless the FDIFF_COORDINATOR_ADDRESS /
+    # FDIFF_NUM_PROCESSES / FDIFF_PROCESS_ID env vars are set.
+    from fourierdiffusion_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     overrides = list(sys.argv[1:] if argv is None else argv)
     # `resume=<run_id>` continues a previous run from its saved full
     # training state (config reloaded from the run dir as-is).

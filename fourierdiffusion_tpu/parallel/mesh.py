@@ -21,6 +21,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def auto_data_mesh(batch_size: Optional[int] = None) -> Optional[Mesh]:
+    """The mesh the CLIs/trainer use: a 1-D ``data`` mesh over all
+    visible devices, or ``None`` when there is a single device (or the
+    batch size does not divide the device count, which would leave
+    ragged shards)."""
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        return None
+    if batch_size is not None and batch_size % n_dev != 0:
+        return None
+    return make_mesh()
+
+
 def make_mesh(
     n_devices: Optional[int] = None, axis_name: str = "data"
 ) -> Mesh:

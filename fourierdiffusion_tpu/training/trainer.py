@@ -25,7 +25,6 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax.core import FrozenDict
 from jax import Array
@@ -42,15 +41,26 @@ logger = logging.getLogger(__name__)
 
 @dataclasses.dataclass
 class TrainStateBundle:
-    """Model variables + optimizer state (a pytree of arrays)."""
+    """Model variables + optimizer state (a pytree of arrays).
+
+    ``ema_params`` is ``{}`` unless EMA is enabled (keeps the pytree —
+    and therefore the resume-checkpoint layout — unchanged by default).
+    """
 
     params: Any
     constants: Any
     opt_state: Any
     step: Array
+    ema_params: Any = dataclasses.field(default_factory=dict)
 
     def tree_flatten(self):
-        return (self.params, self.constants, self.opt_state, self.step), None
+        return (
+            self.params,
+            self.constants,
+            self.opt_state,
+            self.step,
+            self.ema_params,
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -87,6 +97,7 @@ class Trainer:
         metrics_writer=None,
         save_last_dir=None,
         accumulate_grad_batches: int = 1,
+        ema_decay: float = 0.0,
     ) -> None:
         self.model = model
         self.scheduler = scheduler
@@ -100,6 +111,11 @@ class Trainer:
         self.metrics_writer = metrics_writer
         self.save_last_dir = save_last_dir
         self.accumulate_grad_batches = accumulate_grad_batches
+        # EMA of the weights (a deviation from the reference, which has
+        # no EMA; standard practice for score-based diffusion). When
+        # enabled, validation, sampling callbacks and checkpoints all
+        # use the averaged weights; raw weights keep training.
+        self.ema_decay = float(ema_decay)
         self.num_training_steps: int = 0
         self.state: Optional[TrainStateBundle] = None
 
@@ -130,6 +146,8 @@ class Trainer:
         )
 
     def _make_epoch_fns(self, optimizer: optax.GradientTransformation):
+        ema_decay = self.ema_decay
+
         def train_step(state: TrainStateBundle, batch_x: Array, key: Array):
             batch = DiffusableBatch(X=batch_x)
             loss, grads = jax.value_and_grad(self._loss)(
@@ -139,8 +157,19 @@ class Trainer:
                 grads, state.opt_state, state.params
             )
             params = optax.apply_updates(state.params, updates)
+            if ema_decay > 0.0:
+                # EMA initialized at the init weights, so no debiasing.
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    state.ema_params,
+                    params,
+                )
+            else:
+                ema = state.ema_params
             return (
-                TrainStateBundle(params, state.constants, opt_state, state.step + 1),
+                TrainStateBundle(
+                    params, state.constants, opt_state, state.step + 1, ema
+                ),
                 loss,
             )
 
@@ -164,10 +193,12 @@ class Trainer:
             return state, jnp.mean(losses)
 
         def eval_epoch(state: TrainStateBundle, x_all: Array, perm: Array, key: Array):
+            eval_params = state.ema_params if ema_decay > 0.0 else state.params
+
             def body(_, inputs):
                 idx, step_key = inputs
                 loss = self._loss(
-                    state.params, state.constants, DiffusableBatch(X=x_all[idx]),
+                    eval_params, state.constants, DiffusableBatch(X=x_all[idx]),
                     step_key, False,
                 )
                 return None, loss
@@ -182,9 +213,10 @@ class Trainer:
             train_epoch = jax.jit(
                 train_epoch,
                 in_shardings=(replicated, replicated, replicated, replicated),
+                out_shardings=(replicated, replicated),
                 **donate,
             )
-            eval_epoch = jax.jit(eval_epoch)
+            eval_epoch = jax.jit(eval_epoch, out_shardings=replicated)
         else:
             train_epoch = jax.jit(train_epoch, **donate)
             eval_epoch = jax.jit(eval_epoch)
@@ -243,8 +275,11 @@ class Trainer:
                 optimizer, every_k_schedule=self.accumulate_grad_batches
             )
         schedule = cosine_warmup_schedule(self.lr_max, self.num_training_steps)
+        ema0 = (
+            jax.tree_util.tree_map(jnp.copy, params) if self.ema_decay > 0.0 else {}
+        )
         state = TrainStateBundle(
-            params, constants, optimizer.init(params), jnp.zeros((), jnp.int32)
+            params, constants, optimizer.init(params), jnp.zeros((), jnp.int32), ema0
         )
 
         start_epoch = 0
@@ -257,10 +292,14 @@ class Trainer:
         train_epoch, eval_epoch = self._make_epoch_fns(optimizer)
 
         if self.mesh is not None:
+            from fourierdiffusion_tpu.parallel.distributed import replicate_to_mesh
+
             replicated = NamedSharding(self.mesh, P())
-            state = jax.device_put(state, replicated)
-            x_train = jax.device_put(x_train, replicated)
-            x_val = jax.device_put(x_val, replicated)
+            # Multi-host safe: every process contributes its full local
+            # copy (identical across processes by seeding).
+            state = replicate_to_mesh(state, replicated)
+            x_train = replicate_to_mesh(x_train, replicated)
+            x_val = replicate_to_mesh(x_val, replicated)
 
         n_val = x_val.shape[0]
         val_perm = jnp.arange(-(-n_val // datamodule.batch_size) * datamodule.batch_size) % n_val
@@ -286,16 +325,19 @@ class Trainer:
                 "steps_per_sec": steps_per_epoch / dt,
             }
             history.append(metrics)
-            if self.metrics_writer is not None:
+            from fourierdiffusion_tpu.parallel.distributed import is_primary
+
+            if self.metrics_writer is not None and is_primary():
                 self.metrics_writer.log(metrics, step=int(state.step))
             if epoch % 10 == 0 or epoch + 1 == self.max_epochs:
                 logger.info(
                     "epoch %d: train/loss=%.4f val/loss=%.4f lr=%.2e (%.2fs)",
                     epoch, train_loss, val_loss, lr, dt,
                 )
+            eval_params = state.ema_params if self.ema_decay > 0.0 else state.params
             for cb in self.callbacks:
-                cb(self, epoch, state.params, state.constants, metrics)
-            if self.save_last_dir is not None:
+                cb(self, epoch, eval_params, state.constants, metrics)
+            if self.save_last_dir is not None and is_primary():
                 from fourierdiffusion_tpu.utils.checkpoint import save_train_state
 
                 save_train_state(self.save_last_dir, state, epoch)

@@ -28,6 +28,21 @@ import orbax.checkpoint as ocp
 logger = logging.getLogger(__name__)
 
 
+def _saveable(tree: Any) -> Any:
+    """Make a pytree orbax-saveable from a single process.
+
+    Under multi-controller runs the replicated global arrays are not
+    fully addressable; each process holds a complete shard, so the
+    primary saves its local copy (``parallel/distributed.py``)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return tree
+    from fourierdiffusion_tpu.parallel.distributed import host_local_copy
+
+    return host_local_copy(tree)
+
+
 def save_checkpoint(
     checkpoints_dir: Path,
     *,
@@ -44,7 +59,7 @@ def save_checkpoint(
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(
             path,
-            {"params": params, "constants": constants},
+            _saveable({"params": params, "constants": constants}),
             force=True,
         )
     with open(path / "metadata.json", "w") as f:
@@ -91,17 +106,16 @@ def save_train_state(checkpoints_dir: Path, state, epoch: int) -> Path:
     # A kill during a previous save can leave orbax temp dirs behind.
     for stale in checkpoints_dir.glob("*.orbax-checkpoint-tmp"):
         shutil.rmtree(stale, ignore_errors=True)
+    payload = {
+        "params": state.params,
+        "constants": state.constants,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if getattr(state, "ema_params", None):
+        payload["ema_params"] = state.ema_params
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(
-            tmp,
-            {
-                "params": state.params,
-                "constants": state.constants,
-                "opt_state": state.opt_state,
-                "step": state.step,
-            },
-            force=True,
-        )
+        ckptr.save(tmp, _saveable(payload), force=True)
     with open(tmp / "metadata.json", "w") as f:
         json.dump({"epoch": epoch}, f)
     if path.exists():
@@ -121,6 +135,9 @@ def restore_train_state(last_dir: Path, template_state):
         "opt_state": template_state.opt_state,
         "step": template_state.step,
     }
+    has_ema = bool(getattr(template_state, "ema_params", None))
+    if has_ema:
+        template["ema_params"] = template_state.ema_params
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(last_dir, template)
     with open(last_dir / "metadata.json") as f:
@@ -130,6 +147,7 @@ def restore_train_state(last_dir: Path, template_state):
         constants=restored["constants"],
         opt_state=restored["opt_state"],
         step=restored["step"],
+        ema_params=restored["ema_params"] if has_ema else {},
     )
     return state, epoch + 1
 

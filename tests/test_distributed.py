@@ -1,0 +1,97 @@
+"""Multi-host (DCN) training: a REAL 2-process test.
+
+SURVEY.md §5 item 8 scopes "host-side DCN for multi-host scaling"; this
+test spawns two actual OS processes, initializes ``jax.distributed``
+over a localhost coordinator, builds a global 4-device mesh (2 virtual
+CPU devices per process), runs two epochs of the real ``Trainer`` under
+data-parallel sharding that spans the process boundary, and asserts
+both processes agree on the losses (SPMD determinism).
+"""
+
+from __future__ import annotations
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+port, pid = sys.argv[1], int(sys.argv[2])
+os.environ["FDIFF_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+os.environ["FDIFF_NUM_PROCESSES"] = "2"
+os.environ["FDIFF_PROCESS_ID"] = str(pid)
+
+from fourierdiffusion_tpu.parallel.distributed import maybe_initialize_distributed
+
+assert maybe_initialize_distributed()
+assert jax.process_count() == 2
+assert jax.device_count() == 4
+
+from fourierdiffusion_tpu.data.datamodules import DummyDatamodule
+from fourierdiffusion_tpu.models import ScoreModelConfig
+from fourierdiffusion_tpu.parallel import make_mesh
+from fourierdiffusion_tpu.schedulers import VPScheduler
+from fourierdiffusion_tpu.training.trainer import Trainer
+
+dm = DummyDatamodule(batch_size=8, n_channels=2, max_len=16, random_seed=0)
+dm.prepare_data()
+dm.setup()
+model = ScoreModelConfig(
+    model_type="transformer", d_model=8, num_layers=1, n_head=2
+).build(n_channels=2, max_len=16)
+trainer = Trainer(
+    model,
+    VPScheduler(fourier_noise_scaling=False),
+    max_epochs=2,
+    seed=0,
+    mesh=make_mesh(),
+)
+trainer.fit(dm)
+losses = [h["train/loss"] for h in trainer.history]
+assert all(l == l and abs(l) < 1e6 for l in losses), losses
+print("LOSSES", " ".join(f"{l:.6f}" for l in losses), flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_data_parallel_training(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    port = _free_port()
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(pid)],
+            cwd=REPO_ROOT,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env={
+                k: v
+                for k, v in __import__("os").environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+            },
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+
+    loss_lines = [
+        next(l for l in out.splitlines() if l.startswith("LOSSES")) for out in outs
+    ]
+    # SPMD: both controllers must observe identical replicated losses.
+    assert loss_lines[0] == loss_lines[1], loss_lines

@@ -178,3 +178,44 @@ def test_gradient_accumulation() -> None:
     # 10 micro-steps/epoch, k=2 -> 10 optimizer steps over 2 epochs.
     assert trainer.num_training_steps == 10
     assert all(np.isfinite(h["train/loss"]) for h in trainer.history)
+
+
+def test_ema_weights(tmp_path) -> None:
+    """EMA (deviation from the reference, documented in README): the
+    averaged weights lag the raw weights, drive eval/callbacks, and
+    round-trip through the full-state resume checkpoint."""
+    dm = _datamodule(standardize=True)
+    model = _tiny_model()
+    seen = {}
+
+    def spy(trainer, epoch, params, constants, metrics):
+        seen["params"] = params
+
+    t = Trainer(
+        model, VPScheduler(), max_epochs=2, lr_max=1e-3,
+        ema_decay=0.9, callbacks=(spy,), save_last_dir=tmp_path / "ckpts",
+    )
+    state = t.fit(dm)
+    assert state.ema_params, "EMA tree missing"
+    raw = jax.tree_util.tree_leaves(state.params)
+    ema = jax.tree_util.tree_leaves(state.ema_params)
+    assert any(not np.allclose(a, b) for a, b in zip(raw, ema))
+    # Callbacks receive the EMA weights.
+    cb_leaf = jax.tree_util.tree_leaves(seen["params"])[0]
+    np.testing.assert_array_equal(np.asarray(cb_leaf), np.asarray(ema[0]))
+
+    from fourierdiffusion_tpu.utils.checkpoint import restore_train_state
+
+    restored, next_epoch = restore_train_state(tmp_path / "ckpts" / "last", state)
+    assert next_epoch == 2
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored.ema_params)[0]),
+        np.asarray(ema[0]),
+    )
+
+
+def test_ema_disabled_keeps_reference_behavior() -> None:
+    dm = _datamodule(standardize=True)
+    t = Trainer(_tiny_model(), VPScheduler(), max_epochs=1, lr_max=1e-3)
+    state = t.fit(dm)
+    assert state.ema_params == {}
