@@ -74,12 +74,24 @@ def random_directions(dim: int, n_directions: int, seed: int | None) -> np.ndarr
     return dirs.astype(np.float32)
 
 
+def _normalise(proj_orig: Array, proj_other: Array, normalisation: str):
+    """Per-projection normalisation (reference ``wasserstein.py:152-160``):
+    both sides divided by the std of the *original* projection."""
+    if normalisation == "none":
+        return proj_orig, proj_other
+    if normalisation == "standardise":
+        sd = jnp.std(proj_orig, axis=-1, keepdims=True)
+        return proj_orig / sd, proj_other / sd
+    raise ValueError(f"Unrecognised normalisation type: {normalisation}")
+
+
 def sliced_w2(
     original: np.ndarray | Array,
     other: np.ndarray | Array,
     *,
     num_directions: int,
     seed: int | None,
+    normalisation: str = "none",
 ) -> np.ndarray:
     """W2 along ``num_directions`` random unit projections.
 
@@ -91,16 +103,20 @@ def sliced_w2(
     dirs = jnp.asarray(random_directions(original.shape[1], num_directions, seed))
     proj_orig = (original @ dirs.T).T  # (k, n)
     proj_other = (other @ dirs.T).T  # (k, m)
+    proj_orig, proj_other = _normalise(proj_orig, proj_other, normalisation)
     return np.asarray(w2_1d(proj_orig, proj_other))
 
 
 def marginal_w2(
-    original: np.ndarray | Array, other: np.ndarray | Array
+    original: np.ndarray | Array,
+    other: np.ndarray | Array,
+    normalisation: str = "none",
 ) -> np.ndarray:
     """W2 along every standard basis direction (per flattened feature)."""
     original = jnp.asarray(original, jnp.float32)
     other = jnp.asarray(other, jnp.float32)
-    return np.asarray(w2_1d(original.T, other.T))
+    proj_orig, proj_other = _normalise(original.T, other.T, normalisation)
+    return np.asarray(w2_1d(proj_orig, proj_other))
 
 
 def check_flat_array(x) -> np.ndarray:

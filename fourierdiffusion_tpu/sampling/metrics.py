@@ -50,15 +50,21 @@ class SlicedWasserstein(Metric):
         random_seed: int,
         num_directions: int,
         save_all_distances: bool = False,
+        normalisation: str = "none",
     ) -> None:
         super().__init__(original_samples)
         self.random_seed = random_seed
         self.num_directions = num_directions
         self.save_all_distances = save_all_distances
+        self.normalisation = normalisation
 
     def _distances(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return sliced_w2(
-            a, b, num_directions=self.num_directions, seed=self.random_seed
+            a,
+            b,
+            num_directions=self.num_directions,
+            seed=self.random_seed,
+            normalisation=self.normalisation,
         )
 
     def __call__(self, other_samples) -> dict[str, Any]:
@@ -99,13 +105,19 @@ class MarginalWasserstein(Metric):
         original_samples,
         random_seed: int,
         save_all_distances: bool = False,
+        normalisation: str = "none",
     ) -> None:
         super().__init__(original_samples)
         self.random_seed = random_seed
         self.save_all_distances = save_all_distances
+        self.normalisation = normalisation
 
     def __call__(self, other_samples) -> dict[str, Any]:
-        d = marginal_w2(self.original_samples, check_flat_array(other_samples))
+        d = marginal_w2(
+            self.original_samples,
+            check_flat_array(other_samples),
+            normalisation=self.normalisation,
+        )
         out: dict[str, Any] = {
             "marginal_wasserstein_mean": float(np.mean(d)),
             "marginal_wasserstein_max": float(np.max(d)),
@@ -118,10 +130,14 @@ class MarginalWasserstein(Metric):
     def baseline_metrics(self) -> dict[str, float]:
         n = self.original_samples.shape[0]
         d_self = marginal_w2(
-            self.original_samples[: n // 2], self.original_samples[n // 2 :]
+            self.original_samples[: n // 2],
+            self.original_samples[n // 2 :],
+            normalisation=self.normalisation,
         )
         avg = np.mean(self.original_samples, axis=0, keepdims=True)
-        d_dummy = marginal_w2(self.original_samples, avg)
+        d_dummy = marginal_w2(
+            self.original_samples, avg, normalisation=self.normalisation
+        )
         return {
             "marginal_wasserstein_mean_self": float(np.mean(d_self)),
             "marginal_wasserstein_max_self": float(np.max(d_self)),

@@ -128,3 +128,67 @@ def test_metric_collection_keys_and_sorting() -> None:
             assert f"{prefix}{base}" in results, f"{prefix}{base} missing"
     assert "spectral_marginal_wasserstein_mean" in results
     assert "spectral_marginal_wasserstein_all" in results
+
+
+def test_standardise_normalisation():
+    """Reference ``wasserstein.py:152-160``: both sides divided by the
+    std of the original projection before the 1-D OT."""
+    from fourierdiffusion_tpu.ops.wasserstein import marginal_w2, sliced_w2
+
+    rng = np.random.default_rng(3)
+    orig = (rng.normal(size=(100, 4)) * 5.0).astype(np.float32)
+    other = rng.normal(size=(80, 4)).astype(np.float32)
+
+    plain = marginal_w2(orig, other)
+    standardised = marginal_w2(orig, other, normalisation="standardise")
+    np.testing.assert_allclose(
+        standardised, plain / orig.std(axis=0), rtol=1e-5
+    )
+
+    s_plain = sliced_w2(orig, other, num_directions=8, seed=0)
+    s_std = sliced_w2(
+        orig, other, num_directions=8, seed=0, normalisation="standardise"
+    )
+    assert (s_std < s_plain).all()  # orig std > 1 everywhere
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        marginal_w2(orig, other, normalisation="bogus")
+
+
+def test_w2_against_bruteforce_transport_plan():
+    """Independent oracle for unequal-n exact 1-D W2 (the ``ot.emd2_1d``
+    semantics the reference relies on): build the full monotone optimal
+    transport plan between sorted atoms with an explicit two-pointer
+    loop and compare. POT itself is not installed in this image; this
+    pins the same contract without it."""
+    from fourierdiffusion_tpu.ops.wasserstein import w2_1d
+
+    def brute_w2(x, y):
+        x, y = np.sort(x), np.sort(y)
+        n, m = len(x), len(y)
+        i = j = 0
+        wi, wj = 1.0 / n, 1.0 / m
+        ri, rj = wi, wj
+        total = 0.0
+        while i < n and j < m:
+            move = min(ri, rj)
+            total += move * (x[i] - y[j]) ** 2
+            ri -= move
+            rj -= move
+            if ri <= 1e-15:
+                i += 1
+                ri = wi
+            if rj <= 1e-15:
+                j += 1
+                rj = wj
+        return np.sqrt(total)
+
+    rng = np.random.default_rng(11)
+    for n, m in [(10, 10), (17, 5), (100, 37), (64, 128)]:
+        x = rng.normal(size=n)
+        y = rng.normal(loc=0.5, size=m) * 2.0
+        ours = float(w2_1d(np.asarray(x, np.float32)[None], np.asarray(y, np.float32)[None])[0])
+        ref = brute_w2(x, y)
+        np.testing.assert_allclose(ours, ref, rtol=2e-4), (n, m)
