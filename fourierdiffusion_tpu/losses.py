@@ -18,7 +18,7 @@ fuses into the surrounding elementwise graph. RNG is explicit via a
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Protocol
+from typing import Callable, Protocol
 
 import jax
 import jax.numpy as jnp

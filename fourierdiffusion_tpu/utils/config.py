@@ -162,14 +162,15 @@ def load_config(path: Path) -> dict:
     return _load_yaml(Path(path))
 
 
-def flatten_config(cfg: dict, prefix: str = "") -> dict[str, Any]:
-    """Flatten for logging (reference ``extraction.py:20-55``)."""
+def flatten_config(cfg: dict) -> dict[str, Any]:
+    """Flatten for logging, keeping leaf names only (reference
+    ``extraction.py:20-55`` drops the group prefixes)."""
     out: dict[str, Any] = {}
     for k, v in cfg.items():
         if isinstance(v, dict):
-            out.update(flatten_config(v, prefix=f"{k}."))
+            out.update(flatten_config(v))
         else:
-            out[f"{prefix}{k}" if False else k] = v  # reference keeps leaf names
+            out[k] = v
     return out
 
 
