@@ -136,3 +136,68 @@ def import_checkpoint(
 
     tree = _IMPORTERS[model_type](sd, num_layers)
     return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
+# ---------------------------------------------------------------------------
+# Export (flax variables -> reference torch state dict). The inverse of
+# the importers above; lets users move checkpoints back to the reference
+# and enables full-chain golden-parity tests (the reference sampler
+# running OUR weights).
+# ---------------------------------------------------------------------------
+
+
+def _lin_out(tree: Mapping[str, Any], prefix: str, out: dict) -> None:
+    out[f"{prefix}.weight"] = _t(tree["kernel"])
+    out[f"{prefix}.bias"] = _a(tree["bias"])
+
+
+def _ln_out(tree: Mapping[str, Any], prefix: str, out: dict) -> None:
+    out[f"{prefix}.weight"] = _a(tree["scale"])
+    out[f"{prefix}.bias"] = _a(tree["bias"])
+
+
+def export_torch_state_dict(
+    variables: Mapping[str, Any], model_type: str, num_layers: int
+) -> dict[str, np.ndarray]:
+    """Our variables pytree -> reference ``state_dict`` (numpy values)."""
+    params = variables["params"]
+    out: dict[str, np.ndarray] = {
+        "time_encoder.W": _a(variables["constants"]["time_encoder"]["W"]),
+    }
+    _lin_out(params["embedder"], "embedder", out)
+    _lin_out(params["unembedder"], "unembedder", out)
+    _lin_out(params["time_encoder"]["dense"], "time_encoder.dense", out)
+
+    if model_type == "transformer":
+        out["pos_encoder.embedding.weight"] = _a(
+            params["pos_encoder"]["embedding"]
+        )
+        for i in range(num_layers):
+            layer = params["backbone"][f"layers_{i}"]
+            p = f"backbone.layers.{i}"
+            out[f"{p}.self_attn.in_proj_weight"] = _t(
+                layer["self_attn"]["in_proj"]["kernel"]
+            )
+            out[f"{p}.self_attn.in_proj_bias"] = _a(
+                layer["self_attn"]["in_proj"]["bias"]
+            )
+            _lin_out(layer["self_attn"]["out_proj"], f"{p}.self_attn.out_proj", out)
+            _ln_out(layer["norm1"], f"{p}.norm1", out)
+            _ln_out(layer["norm2"], f"{p}.norm2", out)
+            _lin_out(layer["linear1"], f"{p}.linear1", out)
+            _lin_out(layer["linear2"], f"{p}.linear2", out)
+    elif model_type == "mlp":
+        for i in range(num_layers):
+            _lin_out(params[f"backbone_{i}"]["fc1"], f"backbone.{i}.0", out)
+            _lin_out(params[f"backbone_{i}"]["fc2"], f"backbone.{i}.3", out)
+    elif model_type == "lstm":
+        for i in range(num_layers):
+            blk = params[f"backbone_{i}"]
+            p = f"backbone.{i}"
+            out[f"{p}.weight_ih_l0"] = _a(blk["w_ih"])
+            out[f"{p}.weight_hh_l0"] = _a(blk["w_hh"])
+            out[f"{p}.bias_ih_l0"] = _a(blk["b_ih"])
+            out[f"{p}.bias_hh_l0"] = _a(blk["b_hh"])
+    else:
+        raise ValueError(f"Unknown model_type: {model_type!r}")
+    return out

@@ -40,6 +40,13 @@ def install_reference_stubs() -> None:
             def save_hyperparameters(self, *args, **kwargs) -> None:
                 pass
 
+            @property
+            def device(self) -> torch.device:
+                try:
+                    return next(self.parameters()).device
+                except StopIteration:  # pragma: no cover
+                    return torch.device("cpu")
+
             def log(self, *args, **kwargs) -> None:
                 pass
 
