@@ -111,12 +111,18 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    t0 = time.perf_counter()
-    n_batches = 1 if steps >= 1000 else 2
+    n_batches = int(os.environ.get("BENCH_REPS", "3" if steps < 1000 else "2"))
+    rep_times = []
     for i in range(n_batches):
+        t0 = time.perf_counter()
         out = fn(variables, jax.random.PRNGKey(2 + i))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+        out.block_until_ready()
+        rep_times.append(time.perf_counter() - t0)
+    dt = sum(rep_times)
+    print(
+        "# reps: " + " ".join(f"{batch / t:.1f}" for t in rep_times) + " samples/s",
+        file=sys.stderr,
+    )
 
     samples_per_sec = n_batches * batch / dt
     per_chip_target = 10000.0 / 60.0 / 8.0  # v5e-8 north star, per chip

@@ -72,7 +72,8 @@ class SamplingRunner:
 
         from fourierdiffusion_tpu.parallel import auto_data_mesh
 
-        batch = int(cfg["sampler"]["sample_batch_size"])
+        s_cfg = cfg["sampler"]
+        batch = int(s_cfg["sample_batch_size"])
         mesh = auto_data_mesh(batch)
         self.sampler = DiffusionSampler(
             self.model,
@@ -81,6 +82,9 @@ class SamplingRunner:
             n_channels=params["n_channels"],
             sample_batch_size=batch,
             mesh=mesh,
+            method=str(s_cfg.get("method", "em")),
+            corrector_steps=int(s_cfg.get("corrector_steps", 1)),
+            snr=float(s_cfg.get("snr", 0.16)),
         )
 
         seed = int(cfg.get("random_seed", 42))

@@ -43,6 +43,9 @@ def make_sample_fn(
     n_channels: int,
     mesh: Optional[Mesh] = None,
     fused: Optional[bool] = None,
+    method: str = "em",
+    corrector_steps: int = 1,
+    snr: float = 0.16,
 ):
     """Build the jitted fused sampling program.
 
@@ -53,9 +56,21 @@ def make_sample_fn(
     per-step glue (LayerNorms, projections, layout shuffles) collapses
     into one Pallas program per (chain, layer). ``fused=True/False``
     forces the choice (tests exercise both paths on CPU interpret mode).
+
+    ``method`` selects the reverse integrator — capabilities beyond the
+    reference (which only has Euler–Maruyama, ``sampler.py:83-104``):
+
+    * ``"em"``: ancestral Euler–Maruyama (reference semantics);
+    * ``"ode"``: probability-flow ODE (deterministic; Song et al. 2021
+      eq. 13) — same marginals, no sampling noise;
+    * ``"pc"``: predictor-corrector — EM predictor plus
+      ``corrector_steps`` of signal-to-noise-scaled Langevin MCMC at
+      each time (Song et al.'s PC sampler; ``snr`` is their r).
     """
     timesteps = scheduler.timesteps(num_diffusion_steps)
     step_size = scheduler.step_size(num_diffusion_steps)
+    if method not in ("em", "ode", "pc"):
+        raise ValueError(f"Unknown sampling method: {method!r}")
     if fused is None:
         fused = _supports_fused(model) and jax.default_backend() == "tpu"
     if fused and not _supports_fused(model):
@@ -87,11 +102,36 @@ def make_sample_fn(
             def score_fn(x: Array, t_vec: Array) -> Array:
                 return model.apply(variables, x, t_vec, deterministic=True)
 
+        def langevin_correct(x: Array, t: Array, t_vec: Array, key: Array) -> Array:
+            """SNR-scaled Langevin MCMC at fixed t (Song et al. PC)."""
+            for i in range(corrector_steps):
+                grad = score_fn(x, t_vec)
+                z = jax.random.normal(
+                    jax.random.fold_in(key, i), x.shape, x.dtype
+                )
+                flat = lambda a: a.reshape(a.shape[0], -1)  # noqa: E731
+                grad_norm = jnp.mean(
+                    jnp.linalg.norm(flat(grad), axis=-1)
+                )
+                noise_norm = jnp.mean(jnp.linalg.norm(flat(z), axis=-1))
+                alpha = scheduler.corrector_alpha(t, step_size)
+                eps = 2.0 * alpha * (snr * noise_norm / grad_norm) ** 2
+                x = x + eps * grad + jnp.sqrt(2.0 * eps) * z
+            return x
+
         def body(x: Array, inputs):
             t, step_key = inputs
             t_vec = jnp.full((batch_size,), t, x.dtype)
             score = score_fn(x, t_vec)
-            x = scheduler.step(step_key, score, t, x, step_size).prev_sample
+            if method == "ode":
+                x = scheduler.ode_step(score, t, x, step_size).prev_sample
+            elif method == "pc":
+                pred_key, corr_key = jax.random.split(step_key)
+                x = scheduler.step(pred_key, score, t, x, step_size).prev_sample
+                x = langevin_correct(x, t, t_vec, corr_key)
+            else:
+                # Reference EM semantics, unchanged RNG stream.
+                x = scheduler.step(step_key, score, t, x, step_size).prev_sample
             return x, None
 
         step_keys = jax.random.split(scan_key, num_diffusion_steps)
@@ -123,6 +163,9 @@ class DiffusionSampler:
         n_channels: int,
         sample_batch_size: int = 200,
         mesh: Optional[Mesh] = None,
+        method: str = "em",
+        corrector_steps: int = 1,
+        snr: float = 0.16,
     ) -> None:
         self.model = model
         self.scheduler = scheduler
@@ -130,6 +173,9 @@ class DiffusionSampler:
         self.n_channels = n_channels
         self.sample_batch_size = sample_batch_size
         self.mesh = mesh
+        self.method = method
+        self.corrector_steps = corrector_steps
+        self.snr = snr
         self._fn_cache: dict[tuple[int, int], object] = {}
 
     def _get_fn(self, num_diffusion_steps: int, batch_size: int):
@@ -143,6 +189,9 @@ class DiffusionSampler:
                 max_len=self.max_len,
                 n_channels=self.n_channels,
                 mesh=self.mesh,
+                method=self.method,
+                corrector_steps=self.corrector_steps,
+                snr=self.snr,
             )
         return self._fn_cache[cache_key]
 

@@ -109,6 +109,37 @@ class SDE:
         """One reverse Euler–Maruyama step."""
         raise NotImplementedError
 
+    def reverse_drift_sde(
+        self, model_output: Array, timestep: Array, sample: Array
+    ) -> Array:
+        """Reverse-SDE drift ``f(x,t) - G G^T score`` (per unit time)."""
+        raise NotImplementedError
+
+    def reverse_drift_ode(
+        self, model_output: Array, timestep: Array, sample: Array
+    ) -> Array:
+        """Probability-flow ODE drift ``f(x,t) - 1/2 G G^T score``.
+
+        The deterministic flow with the same marginals as the SDE (Song
+        et al. 2021, eq. 13). Not present in the reference — a sampler
+        capability this framework adds.
+        """
+        raise NotImplementedError
+
+    def ode_step(
+        self, model_output: Array, timestep: Array, sample: Array,
+        step_size: Array | float,
+    ) -> SamplingOutput:
+        """One reverse Euler step of the probability-flow ODE."""
+        drift = self.reverse_drift_ode(model_output, timestep, sample)
+        return SamplingOutput(prev_sample=sample - drift * step_size)
+
+    def corrector_alpha(self, timestep: Array, step_size: Array | float) -> Array:
+        """Step-scale for the Langevin corrector (1 for VE; the
+        discretized ``1 - beta dt`` for VP, per Song et al.'s PC
+        sampler)."""
+        return jnp.ones((), jnp.float32)
+
 
 @dataclasses.dataclass(frozen=True)
 class VEScheduler(SDE):
@@ -126,6 +157,28 @@ class VEScheduler(SDE):
     def prior_sampling(self, key: Array, shape: tuple[int, ...], dtype=jnp.float32) -> Array:
         return self.sigma_max * super().prior_sampling(key, shape, dtype)
 
+    def _diffusion_vec(self, timestep: Array, max_len: int, dtype) -> Array:
+        # d(sigma^2)/dt expressed through the log-derivative of sigma(t).
+        sqrt_derivative = (
+            self.sigma_min
+            * math.sqrt(2.0 * math.log(self.sigma_max / self.sigma_min))
+            * (self.sigma_max / self.sigma_min) ** timestep
+        )
+        return sqrt_derivative * self.g(max_len, dtype)  # (max_len,) diagonal
+
+    def reverse_drift_sde(
+        self, model_output: Array, timestep: Array, sample: Array
+    ) -> Array:
+        # Reverse drift: f(x,t) - G G^T score, with forward drift f = 0.
+        diffusion = self._diffusion_vec(timestep, sample.shape[-2], sample.dtype)
+        return -(diffusion**2)[:, None] * model_output
+
+    def reverse_drift_ode(
+        self, model_output: Array, timestep: Array, sample: Array
+    ) -> Array:
+        diffusion = self._diffusion_vec(timestep, sample.shape[-2], sample.dtype)
+        return -0.5 * (diffusion**2)[:, None] * model_output
+
     def step(
         self,
         key: Array,
@@ -134,16 +187,8 @@ class VEScheduler(SDE):
         sample: Array,
         step_size: Array | float,
     ) -> SamplingOutput:
-        # d(sigma^2)/dt expressed through the log-derivative of sigma(t).
-        sqrt_derivative = (
-            self.sigma_min
-            * math.sqrt(2.0 * math.log(self.sigma_max / self.sigma_min))
-            * (self.sigma_max / self.sigma_min) ** timestep
-        )
-        g = self.g(sample.shape[-2], sample.dtype)
-        diffusion = sqrt_derivative * g  # (max_len,) diagonal
-        # Reverse drift: f(x,t) - G G^T score, with forward drift f = 0.
-        drift = -(diffusion**2)[:, None] * model_output
+        diffusion = self._diffusion_vec(timestep, sample.shape[-2], sample.dtype)
+        drift = self.reverse_drift_sde(model_output, timestep, sample)
         z = jax.random.normal(key, sample.shape, sample.dtype)
         x = (
             sample
@@ -174,6 +219,26 @@ class VPScheduler(SDE):
     def beta(self, timestep: Array) -> Array:
         return self.beta_min + timestep * (self.beta_max - self.beta_min)
 
+    def _diffusion_vec(self, timestep: Array, max_len: int, dtype) -> Array:
+        return jnp.sqrt(self.beta(timestep)) * self.g(max_len, dtype)
+
+    def reverse_drift_sde(
+        self, model_output: Array, timestep: Array, sample: Array
+    ) -> Array:
+        beta = self.beta(timestep)
+        diffusion = self._diffusion_vec(timestep, sample.shape[-2], sample.dtype)
+        return -0.5 * beta * sample - (diffusion**2)[:, None] * model_output
+
+    def reverse_drift_ode(
+        self, model_output: Array, timestep: Array, sample: Array
+    ) -> Array:
+        beta = self.beta(timestep)
+        diffusion = self._diffusion_vec(timestep, sample.shape[-2], sample.dtype)
+        return -0.5 * beta * sample - 0.5 * (diffusion**2)[:, None] * model_output
+
+    def corrector_alpha(self, timestep: Array, step_size: Array | float) -> Array:
+        return 1.0 - self.beta(timestep) * step_size
+
     def step(
         self,
         key: Array,
@@ -182,10 +247,8 @@ class VPScheduler(SDE):
         sample: Array,
         step_size: Array | float,
     ) -> SamplingOutput:
-        beta = self.beta(timestep)
-        g = self.g(sample.shape[-2], sample.dtype)
-        diffusion = jnp.sqrt(beta) * g  # (max_len,) diagonal
-        drift = -0.5 * beta * sample - (diffusion**2)[:, None] * model_output
+        diffusion = self._diffusion_vec(timestep, sample.shape[-2], sample.dtype)
+        drift = self.reverse_drift_sde(model_output, timestep, sample)
         z = jax.random.normal(key, sample.shape, sample.dtype)
         x = (
             sample

@@ -70,9 +70,19 @@ def main() -> None:
     ap.add_argument("--runs", type=Path, default=Path("runs"))
     ap.add_argument("--latex", action="store_true")
     ap.add_argument("--plots", type=Path, default=None)
+    ap.add_argument(
+        "--model",
+        default=None,
+        help="restrict to one backbone (e.g. lstm — the reference's "
+        "results_lstm.ipynb view)",
+    )
     args = ap.parse_args()
 
     df = collect_runs(args.runs)
+    if args.model is not None:
+        df = df[df["model"] == args.model]
+        if df.empty:
+            raise SystemExit(f"No runs with model={args.model}")
     print(f"Aggregated {len(df)} runs\n")
 
     for metric in ("time_sliced_wasserstein_mean", "freq_sliced_wasserstein_mean"):
