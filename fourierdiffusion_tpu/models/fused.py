@@ -110,4 +110,57 @@ def fused_score_forward(
     return jnp.swapaxes(score[:, :, :l], 1, 2).astype(in_dtype)
 
 
-__all__ = ["pack_score_transformer", "fused_score_forward"]
+def fused_score_training_forward(
+    model: Any,
+    params: dict,
+    constants: dict,
+    x: Array,
+    timesteps: Array,
+    dropout_key: Array,
+) -> Array:
+    """Training-path forward: fused layers WITH dropout and a custom VJP
+    (``ops/fused_encoder_train.py``). Differentiable in ``params`` — the
+    packing is plain jnp, so ``jax.grad`` maps kernel-layout gradients
+    back onto the canonical flax tree automatically.
+    """
+    import jax
+
+    from fourierdiffusion_tpu.ops.fused_encoder_train import (
+        fused_encoder_layer_train,
+    )
+
+    packed = pack_score_transformer(
+        model, {"params": params, "constants": constants}
+    )
+    in_dtype = x.dtype
+    dtype = model.dtype
+    l = model.max_len
+
+    xt = pad_lanes(jnp.swapaxes(x.astype(dtype), 1, 2))
+    h = jnp.einsum("bcl,cd->bdl", xt, packed["embed_w"])
+    h = h + packed["embed_b"][None, :, None] + packed["pos_T"][None]
+    proj = timesteps[:, None].astype(jnp.float32) * packed["gfp_w"][None] * (
+        2.0 * jnp.pi
+    )
+    emb = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+    emb = emb[:, : model.d_model].astype(dtype)
+    t_emb = jnp.dot(emb, packed["gfp_dense_w"]) + packed["gfp_dense_b"]
+    h = h + t_emb[:, :, None]
+
+    cfg = (model.n_head, l, float(model.dropout_rate))
+    for i, layer in enumerate(packed["layers"]):
+        seed = jax.random.randint(
+            jax.random.fold_in(dropout_key, i), (), 0, jnp.iinfo(jnp.int32).max
+        ).astype(jnp.int32)
+        h = fused_encoder_layer_train(cfg, h, layer, seed)
+
+    score = jnp.einsum("bdl,dc->bcl", h, packed["unembed_w"])
+    score = score + packed["unembed_b"][None, :, None]
+    return jnp.swapaxes(score[:, :, :l], 1, 2).astype(in_dtype)
+
+
+__all__ = [
+    "pack_score_transformer",
+    "fused_score_forward",
+    "fused_score_training_forward",
+]

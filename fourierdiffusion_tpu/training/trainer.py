@@ -120,6 +120,18 @@ class Trainer:
         self.state: Optional[TrainStateBundle] = None
 
     # -- functional core ---------------------------------------------------
+    def _use_fused_train(self) -> bool:
+        """Fused training forward (one Pallas program per layer, custom
+        VJP — ``ops/fused_encoder_train.py``) for transformer score
+        networks; FDIFF_FUSED_TRAIN=1 enables, 0 disables (default: on
+        for TPU once validated — see bench history in RESULTS.md)."""
+        import os
+
+        from fourierdiffusion_tpu.models.score_models import ScoreTransformer
+
+        want = os.environ.get("FDIFF_FUSED_TRAIN") == "1"
+        return want and isinstance(self.model, ScoreTransformer)
+
     def _loss(self, params, constants, batch: DiffusableBatch, key, train: bool):
         if train:
             drop_key, loss_key = jax.random.split(key)
@@ -128,14 +140,26 @@ class Trainer:
             loss_key = key
             rngs = None
 
-        def score_fn(b: DiffusableBatch) -> Array:
-            return self.model.apply(
-                {"params": params, "constants": constants},
-                b.X,
-                b.timesteps,
-                deterministic=not train,
-                rngs=rngs,
+        if train and self._use_fused_train():
+            from fourierdiffusion_tpu.models.fused import (
+                fused_score_training_forward,
             )
+
+            def score_fn(b: DiffusableBatch) -> Array:
+                return fused_score_training_forward(
+                    self.model, params, constants, b.X, b.timesteps, drop_key
+                )
+
+        else:
+
+            def score_fn(b: DiffusableBatch) -> Array:
+                return self.model.apply(
+                    {"params": params, "constants": constants},
+                    b.X,
+                    b.timesteps,
+                    deterministic=not train,
+                    rngs=rngs,
+                )
 
         return sde_loss(
             score_fn,
