@@ -85,6 +85,11 @@ class SamplingRunner:
             method=str(s_cfg.get("method", "em")),
             corrector_steps=int(s_cfg.get("corrector_steps", 1)),
             snr=float(s_cfg.get("snr", 0.16)),
+            score_clip=(
+                float(s_cfg["score_clip"])
+                if s_cfg.get("score_clip") not in (None, "null")
+                else None
+            ),
         )
 
         seed = int(cfg.get("random_seed", 42))

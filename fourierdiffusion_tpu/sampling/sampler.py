@@ -46,6 +46,7 @@ def make_sample_fn(
     method: str = "em",
     corrector_steps: int = 1,
     snr: float = 0.16,
+    score_clip: Optional[float] = None,
 ):
     """Build the jitted fused sampling program.
 
@@ -66,6 +67,12 @@ def make_sample_fn(
     * ``"pc"``: predictor-corrector — EM predictor plus
       ``corrector_steps`` of signal-to-noise-scaled Langevin MCMC at
       each time (Song et al.'s PC sampler; ``snr`` is their r).
+
+    ``score_clip`` (documented deviation; default off = reference
+    behavior) clamps the model output elementwise to ``+-score_clip /
+    std(t)`` — the magnitude a true score can reach under the
+    perturbation kernel. Guards against backbone blow-ups near t=eps
+    (e.g. the MLP's, RESULTS.md "MLP baseline behavior").
     """
     timesteps = scheduler.timesteps(num_diffusion_steps)
     step_size = scheduler.step_size(num_diffusion_steps)
@@ -105,7 +112,7 @@ def make_sample_fn(
         def langevin_correct(x: Array, t: Array, t_vec: Array, key: Array) -> Array:
             """SNR-scaled Langevin MCMC at fixed t (Song et al. PC)."""
             for i in range(corrector_steps):
-                grad = score_fn(x, t_vec)
+                grad = clip_score(score_fn(x, t_vec), t)
                 z = jax.random.normal(
                     jax.random.fold_in(key, i), x.shape, x.dtype
                 )
@@ -119,10 +126,20 @@ def make_sample_fn(
                 x = x + eps * grad + jnp.sqrt(2.0 * eps) * z
             return x
 
+        def clip_score(score: Array, t: Array) -> Array:
+            if score_clip is None:
+                return score
+            _, std = scheduler.marginal_prob(
+                jnp.zeros((1, max_len, n_channels), score.dtype),
+                jnp.full((1,), t, score.dtype),
+            )
+            bound = score_clip / jnp.maximum(std[0], 1e-6)  # (max_len,)
+            return jnp.clip(score, -bound[:, None], bound[:, None])
+
         def body(x: Array, inputs):
             t, step_key = inputs
             t_vec = jnp.full((batch_size,), t, x.dtype)
-            score = score_fn(x, t_vec)
+            score = clip_score(score_fn(x, t_vec), t)
             if method == "ode":
                 x = scheduler.ode_step(score, t, x, step_size).prev_sample
             elif method == "pc":
@@ -166,6 +183,7 @@ class DiffusionSampler:
         method: str = "em",
         corrector_steps: int = 1,
         snr: float = 0.16,
+        score_clip: Optional[float] = None,
     ) -> None:
         self.model = model
         self.scheduler = scheduler
@@ -176,6 +194,7 @@ class DiffusionSampler:
         self.method = method
         self.corrector_steps = corrector_steps
         self.snr = snr
+        self.score_clip = score_clip
         self._fn_cache: dict[tuple[int, int], object] = {}
 
     def _get_fn(self, num_diffusion_steps: int, batch_size: int):
@@ -192,6 +211,7 @@ class DiffusionSampler:
                 method=self.method,
                 corrector_steps=self.corrector_steps,
                 snr=self.snr,
+                score_clip=self.score_clip,
             )
         return self._fn_cache[cache_key]
 

@@ -85,3 +85,51 @@ def test_stochastic_methods_preserve_unit_gaussian(method, kw):
 def test_unknown_method_rejected():
     with pytest.raises(ValueError):
         _setup("heun")
+
+
+class _BlowUpScore(nn.Module):
+    """Pathological backbone: emits a huge constant score (the MLP
+    failure mode near t=eps, RESULTS.md)."""
+
+    @nn.compact
+    def __call__(self, x, timesteps, deterministic=True):
+        return jnp.full_like(x, 1e4)
+
+
+def test_score_clip_guard_bounds_divergence():
+    model = _BlowUpScore()
+    scheduler = VPScheduler(fourier_noise_scaling=False)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, L, C)), jnp.zeros((1,))
+    )
+    kwargs = dict(
+        num_diffusion_steps=K, batch_size=8, max_len=L, n_channels=C,
+        fused=False,
+    )
+    wild = np.asarray(
+        make_sample_fn(model, scheduler, **kwargs)(variables, jax.random.PRNGKey(1))
+    )
+    guarded = np.asarray(
+        make_sample_fn(model, scheduler, score_clip=2.0, **kwargs)(
+            variables, jax.random.PRNGKey(1)
+        )
+    )
+    # The guard clamps the score to the physical 1/std(t) scale: it
+    # cannot make a pathological backbone produce good samples, but it
+    # must keep the trajectory finite and orders of magnitude tamer.
+    assert np.isfinite(guarded).all()
+    assert np.abs(guarded).max() < np.abs(wild).max() / 10
+
+
+def test_score_clip_inactive_for_true_score():
+    """A generous clip must not change well-behaved sampling."""
+    fn_plain, variables, _ = _setup("em")
+    model = _TrueScore()
+    scheduler = VPScheduler(fourier_noise_scaling=False)
+    fn_clip = make_sample_fn(
+        model, scheduler, num_diffusion_steps=K, batch_size=B,
+        max_len=L, n_channels=C, fused=False, score_clip=100.0,
+    )
+    a = np.asarray(fn_plain(variables, jax.random.PRNGKey(4)))
+    b = np.asarray(fn_clip(variables, jax.random.PRNGKey(4)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
