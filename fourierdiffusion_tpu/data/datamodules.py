@@ -256,9 +256,22 @@ class ECGDatamodule(Datamodule):
 
 
 class SyntheticDatamodule(Datamodule):
-    """sin(t*f + phi), f ~ Beta(2, 2), phi ~ N(0, 1)
-    (reference ``datamodules.py:244-304``); generated locally and cached
-    as CSV so runs are reproducible across processes."""
+    """Synthetic generators, cached as CSV for cross-process
+    reproducibility. ``family`` selects the DGP:
+
+    * ``sine`` — sin(t*f + phi), f ~ Beta(2, 2), phi ~ N(0, 1): the
+      reference's own DGP (``datamodules.py:244-304``);
+    * ``multisine`` — sum of three random sines with random amplitudes
+      (richer spectrum, still frequency-sparse);
+    * ``ar2`` — a stationary AR(2) process with random per-series
+      oscillation frequency (broadband spectrum, the opposite regime).
+
+    The extra families are additions beyond the reference: the real
+    datasets need Kaggle (unreachable from this image), so they broaden
+    the quality evidence across spectral regimes.
+    """
+
+    FAMILIES = ("sine", "multisine", "ar2")
 
     def __init__(
         self,
@@ -269,7 +282,13 @@ class SyntheticDatamodule(Datamodule):
         standardize: bool = False,
         max_len: int = 100,
         num_samples: int = 1000,
+        family: str = "sine",
     ) -> None:
+        if family not in self.FAMILIES:
+            raise ValueError(f"Unknown synthetic family: {family!r}")
+        # Set before super().__init__: dataset_name (and therefore the
+        # cache directory) is family-dependent.
+        self.family = family
         super().__init__(data_dir, random_seed, batch_size, fourier_transform, standardize)
         self.max_len = max_len
         self.num_samples = num_samples
@@ -280,19 +299,43 @@ class SyntheticDatamodule(Datamodule):
         self.X_train = jnp.asarray(X_train)[:, :, None]
         self.X_test = jnp.asarray(X_test)[:, :, None]
 
+    def _generate(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        t = np.arange(self.max_len)
+        if self.family == "sine":
+            phase = rng.normal(size=(n, 1))
+            frequency = rng.beta(a=2, b=2, size=(n, 1))
+            return np.sin(t * frequency + phase)
+        if self.family == "multisine":
+            x = np.zeros((n, self.max_len))
+            for _ in range(3):
+                amp = rng.uniform(0.2, 1.0, size=(n, 1))
+                phase = rng.normal(size=(n, 1))
+                frequency = rng.beta(a=2, b=2, size=(n, 1))
+                x += amp * np.sin(t * frequency + phase)
+            return x / np.sqrt(3.0)
+        # ar2: x_k = a1 x_{k-1} + a2 x_{k-2} + eps, parameterized by a
+        # per-series resonance (r, theta) with poles inside the unit
+        # circle so the process is stationary.
+        r = rng.uniform(0.7, 0.95, size=n)
+        theta = rng.uniform(0.1, np.pi / 2, size=n)
+        a1, a2 = 2 * r * np.cos(theta), -(r**2)
+        burn = 100
+        x = np.zeros((n, self.max_len + burn))
+        eps = rng.normal(size=(n, self.max_len + burn)) * 0.3
+        for k in range(2, self.max_len + burn):
+            x[:, k] = a1 * x[:, k - 1] + a2 * x[:, k - 2] + eps[:, k]
+        return x[:, burn:]
+
     def download_data(self) -> None:
         rng = np.random.default_rng(self.random_seed)
         n = 2 * self.num_samples
-        phase = rng.normal(size=(n, 1))
-        frequency = rng.beta(a=2, b=2, size=(n, 1))
-        t = np.arange(self.max_len)
-        X = np.sin(t * frequency + phase).astype(np.float32)
+        X = self._generate(rng, n).astype(np.float32)
         np.savetxt(self.data_dir / "train.csv", X[: self.num_samples], delimiter=",")
         np.savetxt(self.data_dir / "test.csv", X[self.num_samples :], delimiter=",")
 
     @property
     def dataset_name(self) -> str:
-        return "synthetic"
+        return "synthetic" if self.family == "sine" else f"synthetic_{self.family}"
 
 
 class _CachedPreprocessDatamodule(Datamodule):

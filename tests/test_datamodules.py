@@ -94,3 +94,31 @@ def test_registry_complete() -> None:
     assert set(DATAMODULE_REGISTRY) == {
         "ecg", "synthetic", "mimiciii", "nasdaq", "nasa", "usdroughts", "dummy",
     }
+
+
+def test_synthetic_families(tmp_path):
+    """Extra synthetic DGPs (beyond the reference's single sine):
+    distinct cache dirs, reproducible, stationary."""
+    import numpy as np
+
+    from fourierdiffusion_tpu.data.datamodules import SyntheticDatamodule
+
+    stats = {}
+    for fam in SyntheticDatamodule.FAMILIES:
+        dm = SyntheticDatamodule(
+            data_dir=tmp_path, family=fam, num_samples=64, max_len=48
+        )
+        dm.prepare_data()
+        dm.setup()
+        x = np.asarray(dm.X_train)
+        assert x.shape == (64, 48, 1)
+        assert np.isfinite(x).all()
+        stats[fam] = float(x.std())
+    # Families genuinely differ and cache separately.
+    assert len({round(s, 4) for s in stats.values()}) == 3
+    assert (tmp_path / "synthetic_ar2" / "train.csv").exists()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        SyntheticDatamodule(data_dir=tmp_path, family="bogus")
