@@ -171,10 +171,14 @@ class Datamodule(ABC):
         """Shape params injected into the score model
         (reference ``datamodules.py:145-151``)."""
         assert self.X_train is not None
+        # Note: the reference's key of the same name also holds
+        # steps-per-epoch at this point (``datamodules.py:145-151``);
+        # its trainer later multiplies by max_epochs. We expose the
+        # honest name; the trainer computes the schedule length itself.
         return {
             "n_channels": int(self.X_train.shape[2]),
             "max_len": int(self.X_train.shape[1]),
-            "num_training_steps": self.steps_per_epoch,
+            "steps_per_epoch": self.steps_per_epoch,
         }
 
     @property

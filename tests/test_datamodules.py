@@ -33,7 +33,7 @@ def test_dataset_parameters() -> None:
     params = dm.dataset_parameters
     assert params["n_channels"] == CHANNELS
     assert params["max_len"] == MAX_LEN
-    assert params["num_training_steps"] == 10  # 10*B samples / B
+    assert params["steps_per_epoch"] == 10  # 10*B samples / B
 
 
 def test_standardization_round_trip() -> None:
