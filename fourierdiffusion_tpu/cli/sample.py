@@ -43,7 +43,13 @@ logger = logging.getLogger(__name__)
 
 class SamplingRunner:
     def __init__(self, cfg: dict) -> None:
-        logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+        # force=True: see cli/train.py — jax/absl pre-install a root
+        # handler that would otherwise swallow INFO progress logs.
+        logging.basicConfig(
+            level=logging.INFO, format="%(asctime)s %(message)s", force=True
+        )
+        for noisy in ("jax", "orbax", "absl", "etils"):
+            logging.getLogger(noisy).setLevel(logging.WARNING)
         logger.info("Sampling config:\n%s", dict_to_str(cfg))
         self.cfg = cfg
         self.save_dir = Path(cfg["model_path"]) / str(cfg["model_id"])

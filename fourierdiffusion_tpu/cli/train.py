@@ -46,7 +46,14 @@ class TrainingRunner:
 
         self.cfg = cfg
         primary = is_primary()
-        logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+        # force=True: importing jax/absl installs a WARNING-level root
+        # handler first, which would make a plain basicConfig a no-op
+        # and swallow all epoch-progress INFO logs.
+        logging.basicConfig(
+            level=logging.INFO, format="%(asctime)s %(message)s", force=True
+        )
+        for noisy in ("jax", "orbax", "absl", "etils"):
+            logging.getLogger(noisy).setLevel(logging.WARNING)
         if primary:
             logger.info("Training config:\n%s", dict_to_str(cfg))
 
