@@ -35,6 +35,14 @@ import numpy as np
 import torch
 import yaml
 
+# This script only needs jax for host-side data prep (our datamodule) —
+# pin it to CPU so it never opens a TPU client that would contend with
+# concurrently running TPU training/sampling jobs. (The JAX_PLATFORMS
+# env var is ignored in this image; the config update is authoritative.)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
@@ -164,6 +172,13 @@ def main() -> None:
     ap.add_argument("--sample-batch-size", type=int, default=200)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", type=Path, default=REPO / "runs_reference")
+    ap.add_argument(
+        "--load-state",
+        type=Path,
+        default=None,
+        help="skip training; load a model.pt saved by a previous run "
+        "(CPU training is hours-long — this makes sampling restartable)",
+    )
     args = ap.parse_args()
 
     torch.manual_seed(args.seed)
@@ -200,17 +215,27 @@ def main() -> None:
         )
     model = MODELS[args.model](**model_kwargs)
 
-    print(f"Training reference {args.model} ({args.tag}): "
-          f"{args.epochs} epochs x {steps_per_epoch} steps", flush=True)
-    fit_info = train_reference(
-        model,
-        x_train,
-        x_val,
-        epochs=args.epochs,
-        batch_size=args.batch_size,
-        lr_max=args.lr_max,
-        seed=args.seed,
-    )
+    out_dir = args.out / args.tag
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if args.load_state is not None:
+        model.load_state_dict(torch.load(args.load_state, weights_only=True))
+        fit_info = {"best_val_loss": float("nan"), "history": []}
+        print(f"Loaded trained state from {args.load_state}", flush=True)
+    else:
+        print(f"Training reference {args.model} ({args.tag}): "
+              f"{args.epochs} epochs x {steps_per_epoch} steps", flush=True)
+        fit_info = train_reference(
+            model,
+            x_train,
+            x_val,
+            epochs=args.epochs,
+            batch_size=args.batch_size,
+            lr_max=args.lr_max,
+            seed=args.seed,
+        )
+        torch.save(model.state_dict(), out_dir / "model.pt")
+        with open(out_dir / "history.yaml", "w") as f:
+            yaml.safe_dump(fit_info["history"], f)
 
     print("Sampling with the reference DiffusionSampler", flush=True)
     sampler = RefSampler(model, sample_batch_size=args.sample_batch_size)
@@ -237,8 +262,6 @@ def main() -> None:
     )
     results = metrics(x)
 
-    out_dir = args.out / args.tag
-    out_dir.mkdir(parents=True, exist_ok=True)
     with open(out_dir / "results.yaml", "w") as f:
         yaml.safe_dump(results, f)
     with open(out_dir / "run_config.yaml", "w") as f:

@@ -34,6 +34,9 @@ def collect_runs(runs_dir: Path) -> pd.DataFrame:
             "dataset": cfg["datamodule"]["name"],
             "model": cfg["score_model"]["model_type"],
             "diffusion_domain": "frequency" if cfg["fourier_transform"] else "time",
+            "max_epochs": int(cfg["trainer"]["max_epochs"]),
+            "ema": float(cfg["trainer"].get("ema_decay", 0.0)) > 0.0,
+            "d_model": int(cfg["score_model"]["d_model"]),
         }
         for key, val in res.items():
             if isinstance(val, (int, float)):
@@ -76,6 +79,13 @@ def main() -> None:
         help="restrict to one backbone (e.g. lstm — the reference's "
         "results_lstm.ipynb view)",
     )
+    ap.add_argument(
+        "--epochs",
+        type=int,
+        default=None,
+        help="restrict to runs trained for exactly this many epochs "
+        "(the tables should aggregate same-protocol runs only)",
+    )
     args = ap.parse_args()
 
     df = collect_runs(args.runs)
@@ -83,6 +93,10 @@ def main() -> None:
         df = df[df["model"] == args.model]
         if df.empty:
             raise SystemExit(f"No runs with model={args.model}")
+    if args.epochs is not None:
+        df = df[df["max_epochs"] == args.epochs]
+        if df.empty:
+            raise SystemExit(f"No runs with max_epochs={args.epochs}")
     print(f"Aggregated {len(df)} runs\n")
 
     for metric in ("time_sliced_wasserstein_mean", "freq_sliced_wasserstein_mean"):
