@@ -1,0 +1,124 @@
+"""Sample reference-TRAINED weights with OUR fused TPU sampler.
+
+Closes the cross-implementation loop: ``reference_quality_run.py`` trains
+the actual reference torch model and samples it with the reference's own
+Python-loop sampler; this script imports that run's ``model.pt`` through
+``utils/torch_import.py`` and generates with our single-``lax.scan``
+fused sampler under the identical eval protocol. Metrics landing within
+seed noise of the reference's own demonstrate end-to-end sampler parity
+at full scale — on top of the step-level trajectory-parity tests
+(``tests/test_reference_sampler_parity.py``).
+
+Usage:
+    python scripts/cross_sample_reference_weights.py \
+        --run runs_reference/ref-time42-e60 [--fourier] \
+        [--num-samples 500] [--num-diffusion-steps 250]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from fourierdiffusion_tpu.data.datamodules import SyntheticDatamodule  # noqa: E402
+from fourierdiffusion_tpu.models import ScoreModelConfig  # noqa: E402
+from fourierdiffusion_tpu.ops.fourier import idft  # noqa: E402
+from fourierdiffusion_tpu.sampling.metrics import (  # noqa: E402
+    MarginalWasserstein,
+    MetricCollection,
+    SlicedWasserstein,
+)
+from fourierdiffusion_tpu.sampling.sampler import DiffusionSampler  # noqa: E402
+from fourierdiffusion_tpu.schedulers import VPScheduler  # noqa: E402
+from fourierdiffusion_tpu.utils.torch_import import (  # noqa: E402
+    import_transformer_state_dict,
+    load_torch_state_dict,
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", type=Path, required=True)
+    ap.add_argument("--fourier", action="store_true")
+    ap.add_argument("--d-model", type=int, default=72)
+    ap.add_argument("--num-layers", type=int, default=10)
+    ap.add_argument("--n-head", type=int, default=12)
+    ap.add_argument("--num-samples", type=int, default=500)
+    ap.add_argument("--num-diffusion-steps", type=int, default=250)
+    ap.add_argument("--sample-batch-size", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    import jax
+
+    dm = SyntheticDatamodule(
+        random_seed=args.seed, fourier_transform=args.fourier, standardize=True
+    )
+    dm.prepare_data()
+    dm.setup()
+    params = dm.dataset_parameters
+
+    sd = load_torch_state_dict(args.run / "model.pt")
+    variables = import_transformer_state_dict(sd, num_layers=args.num_layers)
+
+    model = ScoreModelConfig(
+        model_type="transformer",
+        d_model=args.d_model,
+        num_layers=args.num_layers,
+        n_head=args.n_head,
+    ).build(n_channels=params["n_channels"], max_len=params["max_len"])
+    scheduler = VPScheduler(fourier_noise_scaling=args.fourier)
+    sampler = DiffusionSampler(
+        model,
+        scheduler,
+        max_len=params["max_len"],
+        n_channels=params["n_channels"],
+        sample_batch_size=args.sample_batch_size,
+    )
+    x = sampler.sample(
+        variables,
+        jax.random.PRNGKey(args.seed),
+        num_samples=args.num_samples,
+        num_diffusion_steps=args.num_diffusion_steps,
+    )
+
+    mean, std = dm.feature_mean_and_std
+    x = np.asarray(x) * np.asarray(std) + np.asarray(mean)
+    if args.fourier:
+        x = np.asarray(idft(x))
+
+    metrics = MetricCollection(
+        metric_factories=[
+            lambda o: SlicedWasserstein(
+                o, random_seed=args.seed, num_directions=1000, save_all_distances=True
+            ),
+            lambda o: MarginalWasserstein(
+                o, random_seed=args.seed, save_all_distances=True
+            ),
+        ],
+        original_samples=np.asarray(dm.X_train),
+        include_baselines=True,
+        include_spectral_density=True,
+    )
+    results = metrics(x)
+    out = args.run / "results_cross_our_sampler.yaml"
+    with open(out, "w") as f:
+        yaml.safe_dump(results, f)
+    printable = {
+        k: round(v, 5)
+        for k, v in results.items()
+        if isinstance(v, float) and "mean" in k and "dummy" not in k
+    }
+    print(yaml.safe_dump(printable))
+    print(f"Wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
