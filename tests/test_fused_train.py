@@ -224,3 +224,26 @@ def test_trainer_fast_path_trains(monkeypatch):
     losses = [h["train/loss"] for h in trainer.history]
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_fused_train_default_follows_backend(monkeypatch):
+    """Default (no env): fused training is on iff the backend is TPU;
+    FDIFF_FUSED_TRAIN=0/1 forces either way."""
+    from fourierdiffusion_tpu.schedulers import VPScheduler
+    from fourierdiffusion_tpu.training.trainer import Trainer
+
+    model = ScoreModelConfig(
+        model_type="transformer", d_model=8, num_layers=1, n_head=2
+    ).build(1, 16)
+    trainer = Trainer(model, VPScheduler(), max_epochs=1)
+
+    monkeypatch.delenv("FDIFF_FUSED_TRAIN", raising=False)
+    import jax
+
+    expected = jax.default_backend() == "tpu"
+    assert trainer._use_fused_train() is expected
+
+    monkeypatch.setenv("FDIFF_FUSED_TRAIN", "1")
+    assert trainer._use_fused_train() is True
+    monkeypatch.setenv("FDIFF_FUSED_TRAIN", "0")
+    assert trainer._use_fused_train() is False
