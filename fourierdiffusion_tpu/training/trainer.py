@@ -123,20 +123,17 @@ class Trainer:
     def _use_fused_train(self) -> bool:
         """Fused training forward (one Pallas program per layer, custom
         VJP — ``ops/fused_encoder_train.py``) for transformer score
-        networks. Default: on for TPU (validated on-chip: 44.2 vs 25.4
-        steps/s at R=1 on the flagship config, quality-neutral — a
-        300-epoch fused run converges to the same val loss and sliced-W2
-        as the canonical path; RESULTS.md). FDIFF_FUSED_TRAIN=1/0
-        forces the choice either way (tests exercise both on CPU)."""
+        networks. Opt-in via FDIFF_FUSED_TRAIN=1: measured 44.2 vs 25.4
+        steps/s at R=1 on the flagship config and quality-neutral in
+        4 of 5 long runs, but ONE 600-epoch run collapsed at epoch 119
+        (train loss pinned at ~0.01; the same seed unfused is clean) —
+        kept off by default until that event is root-caused (RESULTS.md
+        "fused-training collapse")."""
         import os
 
         from fourierdiffusion_tpu.models.score_models import ScoreTransformer
 
-        env = os.environ.get("FDIFF_FUSED_TRAIN")
-        if env is not None:
-            want = env == "1"
-        else:
-            want = jax.default_backend() == "tpu"
+        want = os.environ.get("FDIFF_FUSED_TRAIN") == "1"
         return want and isinstance(self.model, ScoreTransformer)
 
     def _loss(self, params, constants, batch: DiffusableBatch, key, train: bool):

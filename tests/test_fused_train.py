@@ -226,9 +226,9 @@ def test_trainer_fast_path_trains(monkeypatch):
     assert losses[-1] < losses[0]
 
 
-def test_fused_train_default_follows_backend(monkeypatch):
-    """Default (no env): fused training is on iff the backend is TPU;
-    FDIFF_FUSED_TRAIN=0/1 forces either way."""
+def test_fused_train_opt_in(monkeypatch):
+    """Fused training is opt-in (FDIFF_FUSED_TRAIN=1) until the
+    once-in-seven-long-runs collapse is root-caused (RESULTS.md)."""
     from fourierdiffusion_tpu.schedulers import VPScheduler
     from fourierdiffusion_tpu.training.trainer import Trainer
 
@@ -238,11 +238,7 @@ def test_fused_train_default_follows_backend(monkeypatch):
     trainer = Trainer(model, VPScheduler(), max_epochs=1)
 
     monkeypatch.delenv("FDIFF_FUSED_TRAIN", raising=False)
-    import jax
-
-    expected = jax.default_backend() == "tpu"
-    assert trainer._use_fused_train() is expected
-
+    assert trainer._use_fused_train() is False
     monkeypatch.setenv("FDIFF_FUSED_TRAIN", "1")
     assert trainer._use_fused_train() is True
     monkeypatch.setenv("FDIFF_FUSED_TRAIN", "0")
