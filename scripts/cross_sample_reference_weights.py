@@ -65,7 +65,15 @@ def main() -> None:
     dm.setup()
     params = dm.dataset_parameters
 
-    sd = load_torch_state_dict(args.run / "model.pt")
+    model_pt = args.run / "model.pt"
+    if not model_pt.exists():
+        raise SystemExit(
+            f"{model_pt} not found. model.pt is gitignored (13 MB of torch "
+            "weights); regenerate it first with\n"
+            f"  python scripts/reference_quality_run.py --tag {args.run.name} ..."
+            "\n(see RESULTS.md 'Reproduce' for the exact flags)."
+        )
+    sd = load_torch_state_dict(model_pt)
     variables = import_transformer_state_dict(sd, num_layers=args.num_layers)
 
     model = ScoreModelConfig(

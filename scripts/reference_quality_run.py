@@ -97,10 +97,17 @@ def train_reference(
     batch_size: int,
     lr_max: float,
     seed: int,
+    resume_path: Path | None = None,
 ) -> dict:
     """Mirror ``pl.Trainer.fit`` for the reference module: per-step
     optimizer + LR-scheduler updates, grad-clip 1.0, per-epoch val loss,
-    best-val-loss checkpoint (``ModelCheckpoint(monitor="val/loss")``)."""
+    best-val-loss checkpoint (``ModelCheckpoint(monitor="val/loss")``).
+
+    When ``resume_path`` is given, full training state (model, optimizer,
+    LR schedule, RNG streams, best-so-far) is checkpointed there after
+    every epoch and reloaded on restart, so a multi-day CPU run can span
+    process lifetimes without perturbing the trajectory.
+    """
     n = x_train.shape[0]
     steps_per_epoch = -(-n // batch_size)
     total_steps = steps_per_epoch * epochs
@@ -111,7 +118,20 @@ def train_reference(
     best_val = float("inf")
     best_state: dict | None = None
     history = []
-    for epoch in range(epochs):
+    start_epoch = 0
+    if resume_path is not None and resume_path.exists():
+        ck = torch.load(resume_path, weights_only=False)
+        model.load_state_dict(ck["model"])
+        opt.load_state_dict(ck["opt"])
+        sched.load_state_dict(ck["sched"])
+        gen.set_state(ck["gen"])
+        torch.set_rng_state(ck["torch_rng"])
+        best_val = ck["best_val"]
+        best_state = ck["best_state"]
+        history = ck["history"]
+        start_epoch = ck["epoch"] + 1
+        print(f"Resumed training at epoch {start_epoch} from {resume_path}", flush=True)
+    for epoch in range(start_epoch, epochs):
         model.train()
         perm = torch.randperm(n, generator=gen)
         train_losses = []
@@ -144,6 +164,23 @@ def train_reference(
         if val_loss < best_val:
             best_val = val_loss
             best_state = copy.deepcopy(model.state_dict())
+        if resume_path is not None:
+            tmp = resume_path.with_suffix(".tmp")
+            torch.save(
+                {
+                    "model": model.state_dict(),
+                    "opt": opt.state_dict(),
+                    "sched": sched.state_dict(),
+                    "gen": gen.get_state(),
+                    "torch_rng": torch.get_rng_state(),
+                    "best_val": best_val,
+                    "best_state": best_state,
+                    "history": history,
+                    "epoch": epoch,
+                },
+                tmp,
+            )
+            tmp.replace(resume_path)
         if epoch % 10 == 0 or epoch + 1 == epochs:
             h = history[-1]
             print(
@@ -163,8 +200,15 @@ def main() -> None:
     ap.add_argument("--fourier", action="store_true")
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--batch-size", type=int, default=64)
-    ap.add_argument("--lr-max", type=float, default=1e-3)
+    ap.add_argument(
+        "--lr-max",
+        type=float,
+        default=None,
+        help="default: the reference's per-model config "
+        "(1e-4 for mlp, 1e-3 otherwise — cmd/conf/score_model/*.yaml)",
+    )
     ap.add_argument("--d-model", type=int, default=72)
+    ap.add_argument("--d-mlp", type=int, default=1024)
     ap.add_argument("--num-layers", type=int, default=10)
     ap.add_argument("--n-head", type=int, default=12)
     ap.add_argument("--num-samples", type=int, default=1000)
@@ -179,7 +223,17 @@ def main() -> None:
         help="skip training; load a model.pt saved by a previous run "
         "(CPU training is hours-long — this makes sampling restartable)",
     )
+    ap.add_argument(
+        "--skip-sampling",
+        action="store_true",
+        help="train (with per-epoch resume checkpointing) and exit; "
+        "sampling can be run later with --load-state",
+    )
     args = ap.parse_args()
+    if args.lr_max is None:
+        # Mirror the reference's per-model configs (cmd/conf/score_model/
+        # {default,lstm,mlp}.yaml): mlp trains at 1e-4, the rest at 1e-3.
+        args.lr_max = 1e-4 if args.model == "mlp" else 1e-3
 
     torch.manual_seed(args.seed)
 
@@ -201,6 +255,11 @@ def main() -> None:
     steps_per_epoch = params["steps_per_epoch"]
 
     scheduler = RefVPScheduler(fourier_noise_scaling=args.fourier)
+    # The reference sets G lazily on the first marginal_prob call during
+    # training (sde.py:114,192); with --load-state nothing trains, so
+    # prior_sampling would hit an unset G_matrix. Setting it up front is
+    # identical to what the first training step would do.
+    scheduler.set_noise_scaling(params["max_len"])
     model_kwargs = dict(
         n_channels=params["n_channels"],
         max_len=params["max_len"],
@@ -209,10 +268,14 @@ def main() -> None:
         num_training_steps=steps_per_epoch * args.epochs,
         lr_max=args.lr_max,
     )
-    if args.model in ("transformer", "lstm"):
-        model_kwargs.update(
-            d_model=args.d_model, num_layers=args.num_layers, n_head=args.n_head
-        )
+    # Per-model architecture kwargs, mirroring the reference's configs
+    # (cmd/conf/score_model/{default,lstm,mlp}.yaml). The reference
+    # LSTM/MLP constructors take no n_head (score_models.py:169-180,249-261).
+    model_kwargs.update(d_model=args.d_model, num_layers=args.num_layers)
+    if args.model == "transformer":
+        model_kwargs["n_head"] = args.n_head
+    elif args.model == "mlp":
+        model_kwargs["d_mlp"] = args.d_mlp
     model = MODELS[args.model](**model_kwargs)
 
     out_dir = args.out / args.tag
@@ -232,15 +295,45 @@ def main() -> None:
             batch_size=args.batch_size,
             lr_max=args.lr_max,
             seed=args.seed,
+            resume_path=out_dir / "train_state.pt",
         )
         torch.save(model.state_dict(), out_dir / "model.pt")
         with open(out_dir / "history.yaml", "w") as f:
             yaml.safe_dump(fit_info["history"], f)
 
-    print("Sampling with the reference DiffusionSampler", flush=True)
+    if args.skip_sampling:
+        print("Training done (--skip-sampling); exiting.", flush=True)
+        return
+
+    # Chunked, restartable sampling: the reference's torch-CPU reverse
+    # loop costs ~9 s per batch-200 forward on this 1-core host, so the
+    # published 10k x 1000 protocol is a multi-day run. Each completed
+    # batch is persisted (with the RNG stream) so the run can accumulate
+    # across process lifetimes; identical to one RefSampler.sample(N, K)
+    # call because the sampler draws from the global torch RNG.
+    chunks_dir = out_dir / "sample_chunks"
+    chunks_dir.mkdir(exist_ok=True)
+    num_batches = max(1, args.num_samples // args.sample_batch_size)
     sampler = RefSampler(model, sample_batch_size=args.sample_batch_size)
-    with torch.no_grad():
-        x = sampler.sample(args.num_samples, args.num_diffusion_steps)
+    done = sorted(chunks_dir.glob("chunk_*.pt"))
+    if done:
+        rng = torch.load(chunks_dir / "rng_state.pt", weights_only=False)
+        torch.set_rng_state(rng)
+        print(f"Resuming sampling: {len(done)}/{num_batches} chunks done", flush=True)
+    print("Sampling with the reference DiffusionSampler", flush=True)
+    for b in range(len(done), num_batches):
+        t0 = time.perf_counter()
+        with torch.no_grad():
+            xb = sampler.sample(args.sample_batch_size, args.num_diffusion_steps)
+        torch.save(xb, chunks_dir / f"chunk_{b:04d}.pt")
+        torch.save(torch.get_rng_state(), chunks_dir / "rng_state.pt")
+        print(
+            f"chunk {b + 1}/{num_batches} ({time.perf_counter() - t0:.0f}s)",
+            flush=True,
+        )
+    x = torch.cat(
+        [torch.load(p, weights_only=False) for p in sorted(chunks_dir.glob("chunk_*.pt"))]
+    )
 
     mean, std = dm.feature_mean_and_std
     x = x.numpy() * np.asarray(std) + np.asarray(mean)
