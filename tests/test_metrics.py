@@ -79,6 +79,72 @@ def test_w2_exact_unequal_sizes() -> None:
     np.testing.assert_allclose(d, np.sqrt(0.5 * 1 + 0.5 * 1), rtol=1e-6)
 
 
+def _w2_oracle(x: np.ndarray, y: np.ndarray) -> float:
+    """Brute-force exact 1-D W2: northwest-corner rule on the sorted
+    samples. For 1-D costs |x-y|^2 with sorted supports the NW-corner
+    plan IS the optimal transport plan (the cost is Monge), so this is
+    an independent oracle for the merged-quantile-grid implementation
+    (``ops/wasserstein.py``) — the in-repo stand-in for the reference's
+    POT cross-check (``/root/reference/tests/test_metrics.py:26-52``,
+    ``ot.emd2_1d``; POT is not installed in this image)."""
+    x = np.sort(np.asarray(x, np.float64))
+    y = np.sort(np.asarray(y, np.float64))
+    n, m = len(x), len(y)
+    wx, wy = 1.0 / n, 1.0 / m
+    rx, ry = wx, wy
+    i = j = 0
+    cost = 0.0
+    while i < n and j < m:
+        w = min(rx, ry)
+        cost += w * (x[i] - y[j]) ** 2
+        rx -= w
+        ry -= w
+        if rx <= 1e-15:
+            i += 1
+            rx = wx
+        if ry <= 1e-15:
+            j += 1
+            ry = wy
+    return float(np.sqrt(cost))
+
+
+@pytest.mark.parametrize(
+    "n,m",
+    [(300, 170), (7, 5), (1000, 999), (64, 64), (251, 17), (2, 1000)],
+)
+def test_w2_unequal_matches_bruteforce_oracle(n: int, m: int) -> None:
+    rng = np.random.default_rng(n * 1000 + m)
+    x = rng.normal(size=n)
+    y = rng.normal(size=m) * 1.7 + 0.5
+    ours = float(w2_1d(x[None], y[None])[0])
+    oracle = _w2_oracle(x, y)
+    np.testing.assert_allclose(ours, oracle, rtol=2e-5, atol=1e-6)
+
+
+def test_w2_unequal_oracle_heavy_tails_and_ties() -> None:
+    rng = np.random.default_rng(0)
+    x = np.round(rng.standard_cauchy(321), 1)  # ties + heavy tails
+    y = np.round(rng.standard_cauchy(123), 1)
+    ours = float(w2_1d(x[None], y[None])[0])
+    np.testing.assert_allclose(ours, _w2_oracle(x, y), rtol=1e-4)
+
+
+def test_sliced_w2_matches_oracle_per_direction() -> None:
+    # The full sliced pipeline (projection + batched quantile W2) against
+    # the NW-corner oracle applied per direction, unequal sample counts.
+    from fourierdiffusion_tpu.ops.wasserstein import random_directions
+
+    rng = np.random.default_rng(RANDOM_SEED)
+    d1 = rng.random((200, 6))
+    d2 = rng.random((77, 6)) + 0.3
+    k = 25
+    ours = sliced_w2(d1, d2, num_directions=k, seed=RANDOM_SEED)
+    dirs = random_directions(6, k, RANDOM_SEED)
+    for q in range(k):
+        oracle = _w2_oracle(d1 @ dirs[q], d2 @ dirs[q])
+        np.testing.assert_allclose(ours[q], oracle, rtol=1e-4, atol=1e-5)
+
+
 def test_w2_matches_pot_if_available() -> None:
     ot = pytest.importorskip("ot")
     rng = np.random.default_rng(0)
