@@ -66,6 +66,10 @@ def bench_train() -> None:
                 "value": round(steps_per_sec, 2),
                 "unit": "steps/s/chip",
                 "vs_baseline": round(steps_per_sec / round1_steps_per_sec, 3),
+                # NOTE: unlike sampling mode (north-star target), train
+                # mode has no external baseline — the reference publishes
+                # none — so vs_baseline is vs OUR round-1 number.
+                "baseline": "self_round1_24.2_steps_per_sec",
             }
         )
     )
@@ -83,8 +87,15 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
     max_len, n_channels = 187, 1
 
+    # BENCH_MODEL=fast benches the opt-in MXU-aligned shape (d_model 128,
+    # 8 heads => head_dim 16 fills the 16-sublane tile; configs/
+    # score_model/fast.yaml). Default stays the reference flagship shape.
+    shape = os.environ.get("BENCH_MODEL", "default")
+    shape_kwargs = (
+        {"d_model": 128, "n_head": 8} if shape == "fast" else {}
+    )
     model = ScoreModelConfig(
-        model_type="transformer", dtype="bfloat16"
+        model_type="transformer", dtype="bfloat16", **shape_kwargs
     ).build(n_channels=n_channels, max_len=max_len)
     scheduler = VPScheduler(fourier_noise_scaling=True)
 
@@ -129,7 +140,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"diffusion_samples_per_sec_{steps}step",
+                "metric": f"diffusion_samples_per_sec_{steps}step"
+                + ("" if shape == "default" else f"_{shape}"),
                 "value": round(samples_per_sec, 2),
                 "unit": "samples/s",
                 "vs_baseline": round(samples_per_sec / per_chip_target, 3),

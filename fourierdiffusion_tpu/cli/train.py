@@ -19,6 +19,7 @@ from __future__ import annotations
 import logging
 import sys
 from pathlib import Path
+from typing import Any
 
 from fourierdiffusion_tpu.parallel import auto_data_mesh
 from fourierdiffusion_tpu.training.callbacks import SamplingCallback
@@ -137,7 +138,7 @@ class TrainingRunner:
             ema_decay=float(trainer_cfg.get("ema_decay", 0.0)),
         )
 
-    def train(self, resume_from=None):
+    def train(self, resume_from: Path | None = None) -> Any:
         # Noise scaling without the Fourier transform would whiten the
         # wrong domain (reference guard, cmd/train.py:60-62).
         assert not (

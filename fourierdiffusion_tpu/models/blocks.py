@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import Array
+from jax.typing import DTypeLike
 
 # torch nn.Linear default init: weight/bias ~ U(+-sqrt(1/fan_in)).
 torch_linear_kernel_init = nn.initializers.variance_scaling(
@@ -30,7 +31,7 @@ torch_linear_kernel_init = nn.initializers.variance_scaling(
 )
 
 
-def torch_linear_bias_init(key, shape, dtype, fan_in: int):
+def torch_linear_bias_init(key: Array, shape: tuple, dtype: DTypeLike, fan_in: int) -> Array:
     bound = 1.0 / math.sqrt(fan_in)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 

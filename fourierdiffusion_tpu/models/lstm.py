@@ -18,10 +18,12 @@ import math
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from typing import Callable
+
 from jax import Array
 
 
-def lstm_uniform_init(hidden: int):
+def lstm_uniform_init(hidden: int) -> Callable:
     bound = 1.0 / math.sqrt(hidden)
 
     def init(key, shape, dtype=jnp.float32):

@@ -43,6 +43,7 @@ import math
 import jax
 import jax.numpy as jnp
 from jax import Array
+from jax.typing import DTypeLike
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -180,7 +181,7 @@ def _col_vec(v: Array) -> Array:
     return v.astype(jnp.float32)[:, None]
 
 
-def pack_encoder_layer(params: dict, n_head: int, dtype) -> dict[str, Array]:
+def pack_encoder_layer(params: dict, n_head: int, dtype: DTypeLike) -> dict[str, Array]:
     """Repack one canonical flax encoder-layer param subtree
     (``models/transformer.py:22-57`` structure) into the kernel layout."""
     d_model = params["norm1"]["scale"].shape[0]

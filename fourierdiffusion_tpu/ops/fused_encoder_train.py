@@ -385,7 +385,7 @@ def _const_spec(arr: Array) -> pl.BlockSpec:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_encoder_layer_train(cfg, x: Array, layer: dict, seed: Array) -> Array:
+def fused_encoder_layer_train(cfg: tuple, x: Array, layer: dict, seed: Array) -> Array:
     """One trainable fused encoder layer.
 
     ``cfg = (n_head, l_valid, rate)`` static; ``x`` is ``(B, D, Lp)``

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import Array
+from jax.typing import ArrayLike
 
 
 @functools.lru_cache(maxsize=32)
@@ -119,7 +120,7 @@ def marginal_w2(
     return np.asarray(w2_1d(proj_orig, proj_other))
 
 
-def check_flat_array(x) -> np.ndarray:
+def check_flat_array(x: ArrayLike) -> np.ndarray:
     """Coerce to a 2-D ``(n, features)`` numpy array
     (reference ``tensors.py:5-22``)."""
     x = np.asarray(x)

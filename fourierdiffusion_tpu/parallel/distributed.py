@@ -36,6 +36,7 @@ from typing import Any
 
 import jax
 import numpy as np
+from jax.sharding import NamedSharding
 
 logger = logging.getLogger(__name__)
 
@@ -77,7 +78,7 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-def replicate_to_mesh(tree: Any, sharding) -> Any:
+def replicate_to_mesh(tree: Any, sharding: NamedSharding) -> Any:
     """Place a host pytree onto the mesh fully replicated.
 
     Single-process: plain ``device_put``. Multi-process: every process
@@ -96,7 +97,7 @@ def replicate_to_mesh(tree: Any, sharding) -> Any:
     )
 
 
-def gather_to_host(x) -> np.ndarray:
+def gather_to_host(x: Any) -> np.ndarray:
     """Fetch a (possibly cross-process-sharded) array to host numpy."""
     if jax.process_count() == 1:
         return np.asarray(x)

@@ -14,7 +14,7 @@ extension point for them.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -57,6 +57,6 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
     """Place a host batch onto the mesh, sharded over the leading axis."""
     return jax.device_put(batch, data_sharding(mesh, axis_name))

@@ -15,7 +15,7 @@ footprint) and, when a mesh is provided, sharded across devices over the
 from __future__ import annotations
 
 import logging
-from typing import Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ def _supports_fused(model) -> bool:
 
 
 def make_sample_fn(
-    model,
+    model: Any,
     scheduler: SDE,
     *,
     num_diffusion_steps: int,
@@ -47,7 +47,7 @@ def make_sample_fn(
     corrector_steps: int = 1,
     snr: float = 0.16,
     score_clip: Optional[float] = None,
-):
+) -> Callable:
     """Build the jitted fused sampling program.
 
     Returns ``sample(variables, key) -> (batch_size, max_len, n_channels)``.
@@ -117,8 +117,10 @@ def make_sample_fn(
                     jax.random.fold_in(key, i), x.shape, x.dtype
                 )
                 flat = lambda a: a.reshape(a.shape[0], -1)  # noqa: E731
-                grad_norm = jnp.mean(
-                    jnp.linalg.norm(flat(grad), axis=-1)
+                # Floor guards 0/0 -> NaN for a degenerate (e.g. fresh
+                # random-init) score network; a trained score never hits it.
+                grad_norm = jnp.maximum(
+                    jnp.mean(jnp.linalg.norm(flat(grad), axis=-1)), 1e-12
                 )
                 noise_norm = jnp.mean(jnp.linalg.norm(flat(z), axis=-1))
                 alpha = scheduler.corrector_alpha(t, step_size)
@@ -217,7 +219,7 @@ class DiffusionSampler:
 
     def sample(
         self,
-        variables,
+        variables: Any,
         key: Array,
         num_samples: int,
         num_diffusion_steps: int = 1000,

@@ -22,13 +22,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax import Array
+from jax.typing import DTypeLike
 
 
 class SamplingOutput(NamedTuple):
     prev_sample: Array
 
 
-def g_vector(max_len: int, fourier_noise_scaling: bool, dtype=jnp.float32) -> Array:
+def g_vector(max_len: int, fourier_noise_scaling: bool, dtype: DTypeLike = jnp.float32) -> Array:
     """Diagonal of the noise-scaling matrix G.
 
     All-ones, or — with Fourier noise scaling — ``1/sqrt(2)`` with the DC
@@ -61,7 +62,7 @@ class SDE:
         return 1.0
 
     # -- schedule -----------------------------------------------------
-    def timesteps(self, num_diffusion_steps: int, dtype=jnp.float32) -> Array:
+    def timesteps(self, num_diffusion_steps: int, dtype: DTypeLike = jnp.float32) -> Array:
         """Descending time grid ``linspace(T, eps, K)`` (``sde.py:62-64``)."""
         return jnp.linspace(self.T, self.eps, num_diffusion_steps, dtype=dtype)
 
@@ -69,7 +70,7 @@ class SDE:
         """Uniform reverse-step size (``sde.py:64``)."""
         return (self.T - self.eps) / (num_diffusion_steps - 1)
 
-    def g(self, max_len: int, dtype=jnp.float32) -> Array:
+    def g(self, max_len: int, dtype: DTypeLike = jnp.float32) -> Array:
         return g_vector(max_len, self.fourier_noise_scaling, dtype)
 
     # -- forward ------------------------------------------------------
@@ -91,7 +92,7 @@ class SDE:
         mean, _ = self.marginal_prob(original_samples, timesteps)
         return mean + noise
 
-    def prior_sampling(self, key: Array, shape: tuple[int, ...], dtype=jnp.float32) -> Array:
+    def prior_sampling(self, key: Array, shape: tuple[int, ...], dtype: DTypeLike = jnp.float32) -> Array:
         """Sample ``G z`` with ``z ~ N(0, I)`` (``sde.py:79-87``)."""
         z = jax.random.normal(key, shape, dtype)
         g = self.g(shape[-2], dtype)
@@ -154,7 +155,7 @@ class VEScheduler(SDE):
         std = sigma[:, None] * g[None, :]
         return x, std
 
-    def prior_sampling(self, key: Array, shape: tuple[int, ...], dtype=jnp.float32) -> Array:
+    def prior_sampling(self, key: Array, shape: tuple[int, ...], dtype: DTypeLike = jnp.float32) -> Array:
         return self.sigma_max * super().prior_sampling(key, shape, dtype)
 
     def _diffusion_vec(self, timestep: Array, max_len: int, dtype) -> Array:

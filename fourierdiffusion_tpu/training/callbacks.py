@@ -12,7 +12,7 @@ used at eval time, compiled once and reused across epochs.
 from __future__ import annotations
 
 import logging
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 
@@ -76,7 +76,7 @@ class SamplingCallback:
             include_baselines=False,
         )
 
-    def sample(self, params, constants):
+    def sample(self, params: Any, constants: Any) -> Any:
         x = self.sampler.sample(
             {"params": params, "constants": constants},
             jax.random.PRNGKey(self.random_seed),

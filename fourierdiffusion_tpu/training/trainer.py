@@ -53,7 +53,7 @@ class TrainStateBundle:
     step: Array
     ema_params: Any = dataclasses.field(default_factory=dict)
 
-    def tree_flatten(self):
+    def tree_flatten(self) -> tuple:
         return (
             self.params,
             self.constants,
@@ -63,7 +63,7 @@ class TrainStateBundle:
         ), None
 
     @classmethod
-    def tree_unflatten(cls, aux, children):
+    def tree_unflatten(cls, aux: None, children: tuple) -> "TrainStateBundle":
         return cls(*children)
 
 
@@ -266,7 +266,7 @@ class Trainer:
         datamodule: Datamodule,
         *,
         init_variables: Optional[FrozenDict] = None,
-        resume_from=None,
+        resume_from: Any = None,
     ) -> TrainStateBundle:
         train_split = datamodule.train_arrays()
         val_split = datamodule.val_arrays()

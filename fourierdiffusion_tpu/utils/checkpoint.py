@@ -91,7 +91,7 @@ def get_best_checkpoint(checkpoints_dir: Path) -> Path:
     return best
 
 
-def save_train_state(checkpoints_dir: Path, state, epoch: int) -> Path:
+def save_train_state(checkpoints_dir: Path, state: Any, epoch: int) -> Path:
     """Write the FULL training state (params + constants + optimizer
     state + step) to ``<dir>/last`` for preemption-safe resume — a
     capability the reference lacks (SURVEY.md §5 item 3: restart = rerun)."""
@@ -124,7 +124,7 @@ def save_train_state(checkpoints_dir: Path, state, epoch: int) -> Path:
     return path
 
 
-def restore_train_state(last_dir: Path, template_state):
+def restore_train_state(last_dir: Path, template_state: Any) -> tuple[Any, int]:
     """Restore a ``save_train_state`` checkpoint into the same pytree
     structure as ``template_state`` (needed so optax namedtuple states
     round-trip). Returns ``(state, next_epoch)``."""

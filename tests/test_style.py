@@ -96,3 +96,45 @@ def test_no_print_in_library_code():
             ):
                 failures.append(f"{path.relative_to(PACKAGE.parent)}:{node.lineno}")
     assert not failures, f"print() in library code: {failures}"
+
+
+def test_public_api_fully_annotated():
+    """Annotation-coverage gate (locally enforceable stand-in for the
+    reference's strict-mypy pre-commit): every public top-level function
+    and class method in the package annotates all parameters and the
+    return type. Nested closures are exempt (their types are inferred
+    from context and annotating them adds noise, not safety)."""
+
+    def top_level_defs(tree: ast.Module):
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                yield node
+            elif isinstance(node, ast.ClassDef):
+                for sub in node.body:
+                    if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                        yield sub
+
+    failures = []
+    for path in _module_files():
+        tree = ast.parse(path.read_text(), filename=str(path))
+        for node in top_level_defs(tree):
+            if node.name.startswith("_"):
+                continue
+            args = node.args
+            allargs = args.posonlyargs + args.args + args.kwonlyargs
+            unannotated = [
+                a.arg
+                for a in allargs
+                if a.annotation is None and a.arg not in ("self", "cls")
+            ]
+            if unannotated:
+                failures.append(
+                    f"{path.relative_to(PACKAGE.parent)}:{node.lineno} "
+                    f"{node.name}: unannotated params {unannotated}"
+                )
+            if node.returns is None:
+                failures.append(
+                    f"{path.relative_to(PACKAGE.parent)}:{node.lineno} "
+                    f"{node.name}: missing return annotation"
+                )
+    assert not failures, "\n".join(failures)
