@@ -136,6 +136,12 @@ class TrainingRunner:
                 trainer_cfg.get("accumulate_grad_batches", 1)
             ),
             ema_decay=float(trainer_cfg.get("ema_decay", 0.0)),
+            spike_rollback_factor=float(
+                trainer_cfg.get("spike_rollback_factor", 2.5)
+            ),
+            spike_rollback_retries=int(
+                trainer_cfg.get("spike_rollback_retries", 2)
+            ),
         )
 
     def train(self, resume_from: Path | None = None) -> Any:

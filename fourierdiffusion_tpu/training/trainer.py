@@ -20,7 +20,10 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
+import statistics
 import time
+from collections import deque
 from typing import Any, Optional
 
 import jax
@@ -98,6 +101,8 @@ class Trainer:
         save_last_dir=None,
         accumulate_grad_batches: int = 1,
         ema_decay: float = 0.0,
+        spike_rollback_factor: float = 2.5,
+        spike_rollback_retries: int = 2,
     ) -> None:
         self.model = model
         self.scheduler = scheduler
@@ -116,6 +121,18 @@ class Trainer:
         # enabled, validation, sampling callbacks and checkpoints all
         # use the averaged weights; raw weights keep training.
         self.ema_decay = float(ema_decay)
+        # Loss-spike rollback guard (deviation from the reference, which
+        # has no failure handling at all — SURVEY.md §5 item 3): a rare
+        # knife-edge optimizer event can permanently derail a run (the
+        # seed-44 fused collapse, RESULTS.md: one poisoned epoch pinned
+        # the loss 4x high for 480 epochs; fused==autodiff grads and a
+        # clean mask stream — pure stochastic-stream luck). When a
+        # trained epoch's loss exceeds ``spike_rollback_factor`` x the
+        # recent median, rewind to a pre-spike snapshot and continue
+        # under a perturbed per-epoch RNG stream (same distribution).
+        # 0 disables.
+        self.spike_rollback_factor = float(spike_rollback_factor)
+        self.spike_rollback_retries = int(spike_rollback_retries)
         self.num_training_steps: int = 0
         self.state: Optional[TrainStateBundle] = None
 
@@ -123,17 +140,24 @@ class Trainer:
     def _use_fused_train(self) -> bool:
         """Fused training forward (one Pallas program per layer, custom
         VJP — ``ops/fused_encoder_train.py``) for transformer score
-        networks. Opt-in via FDIFF_FUSED_TRAIN=1: measured 44.2 vs 25.4
-        steps/s at R=1 on the flagship config and quality-neutral in
-        4 of 5 long runs, but ONE 600-epoch run collapsed at epoch 119
-        (train loss pinned at ~0.01; the same seed unfused is clean) —
-        kept off by default until that event is root-caused (RESULTS.md
-        "fused-training collapse")."""
+        networks: measured 44.2 vs 25.4 steps/s at R=1 on the flagship
+        config. DEFAULT ON on TPU since round 3: the one long-run
+        collapse (seed 44, epoch 119) was root-caused to a rare
+        knife-edge in the training dynamics triggered by one specific
+        valid stochastic stream — NOT a kernel defect (fused==autodiff
+        grads at the event states; only the exact original stream
+        collapses, all perturbed fused and unfused streams train clean;
+        RESULTS.md "fused-training collapse: root cause"). The
+        loss-spike rollback guard recovers such events automatically.
+        FDIFF_FUSED_TRAIN=0 forces off, =1 forces on (any backend)."""
         import os
 
         from fourierdiffusion_tpu.models.score_models import ScoreTransformer
 
-        want = os.environ.get("FDIFF_FUSED_TRAIN") == "1"
+        env = os.environ.get("FDIFF_FUSED_TRAIN")
+        if env == "0":
+            return False
+        want = env == "1" or jax.default_backend() == "tpu"
         return want and isinstance(self.model, ScoreTransformer)
 
     def _loss(self, params, constants, batch: DiffusableBatch, key, train: bool):
@@ -334,15 +358,77 @@ class Trainer:
         val_perm = val_perm.reshape(-1, datamodule.batch_size)
 
         history = []
-        for epoch in range(start_epoch, self.max_epochs):
+        # Spike-rollback guard state: a 2-deep ring of on-device state
+        # snapshots (damage can begin in the epoch BEFORE the visible
+        # spike — the seed-44 event poisoned epoch 118 but only epoch
+        # 119's mean crossed a threshold — so rewind 2 epochs), a recent-
+        # loss window for the median, and a stream salt folded into every
+        # subsequent epoch key after a rollback so the retried epochs see
+        # fresh (identically distributed) dropout masks and noise draws.
+        guard_on = self.spike_rollback_factor > 0.0
+        snapshots: deque = deque(maxlen=2)
+        recent: deque = deque(maxlen=10)
+        stream_salt = 0
+        rollbacks_used = 0
+        epoch = start_epoch
+        while epoch < self.max_epochs:
             ekey = jax.random.fold_in(fit_key, epoch)
+            if stream_salt:
+                ekey = jax.random.fold_in(ekey, stream_salt)
             perm_key, scan_key, val_key = jax.random.split(ekey, 3)
             perm = self._epoch_permutation(perm_key, n, datamodule.batch_size)
+            if guard_on:
+                snapshots.append(
+                    (epoch, jax.tree_util.tree_map(jnp.copy, state))
+                )
             t0 = time.perf_counter()
             state, train_loss = train_epoch(state, x_train, perm, scan_key)
             val_loss = eval_epoch(state, x_val, val_perm, val_key)
             train_loss = float(train_loss)
             val_loss = float(val_loss)
+            if (
+                guard_on
+                and len(recent) >= 5
+                and (
+                    not math.isfinite(train_loss)
+                    or train_loss
+                    > self.spike_rollback_factor * statistics.median(recent)
+                )
+            ):
+                if rollbacks_used < self.spike_rollback_retries:
+                    rollbacks_used += 1
+                    stream_salt += 1
+                    rewind_epoch, snap = snapshots.popleft()
+                    snapshots.clear()
+                    logger.warning(
+                        "loss spike at epoch %d (train/loss=%.4g vs recent "
+                        "median %.4g): rolling back to epoch %d with a "
+                        "perturbed RNG stream (rollback %d/%d)",
+                        epoch, train_loss, statistics.median(recent),
+                        rewind_epoch, rollbacks_used,
+                        self.spike_rollback_retries,
+                    )
+                    if self.metrics_writer is not None:
+                        self.metrics_writer.log(
+                            {
+                                "rollback_from_epoch": epoch,
+                                "rollback_to_epoch": rewind_epoch,
+                                "spike_train_loss": train_loss,
+                            },
+                            step=int(snap.step),
+                        )
+                    state = snap
+                    # Drop records of the discarded trajectory (the
+                    # rewound epochs re-run and re-record).
+                    history = [h for h in history if h["epoch"] < rewind_epoch]
+                    epoch = rewind_epoch
+                    continue
+                logger.warning(
+                    "loss spike at epoch %d persists after %d rollbacks; "
+                    "continuing without intervention",
+                    epoch, rollbacks_used,
+                )
+            recent.append(train_loss)
             dt = time.perf_counter() - t0
             lr = float(schedule(int(state.step)))
             metrics = {
@@ -352,6 +438,8 @@ class Trainer:
                 "epoch": epoch,
                 "steps_per_sec": steps_per_epoch / dt,
             }
+            if stream_salt:
+                metrics["stream_salt"] = stream_salt
             history.append(metrics)
             from fourierdiffusion_tpu.parallel.distributed import is_primary
 
@@ -369,6 +457,7 @@ class Trainer:
                 from fourierdiffusion_tpu.utils.checkpoint import save_train_state
 
                 save_train_state(self.save_last_dir, state, epoch)
+            epoch += 1
 
         self.state = state
         self.history = history

@@ -226,9 +226,13 @@ def test_trainer_fast_path_trains(monkeypatch):
     assert losses[-1] < losses[0]
 
 
-def test_fused_train_opt_in(monkeypatch):
-    """Fused training is opt-in (FDIFF_FUSED_TRAIN=1) until the
-    once-in-seven-long-runs collapse is root-caused (RESULTS.md)."""
+def test_fused_train_default(monkeypatch):
+    """Fused training defaults ON for TPU backends (the collapse was
+    root-caused to stochastic-stream luck, not a kernel defect —
+    RESULTS.md "fused-training collapse: root cause") and is
+    env-forceable both ways on any backend."""
+    import jax
+
     from fourierdiffusion_tpu.schedulers import VPScheduler
     from fourierdiffusion_tpu.training.trainer import Trainer
 
@@ -238,7 +242,8 @@ def test_fused_train_opt_in(monkeypatch):
     trainer = Trainer(model, VPScheduler(), max_epochs=1)
 
     monkeypatch.delenv("FDIFF_FUSED_TRAIN", raising=False)
-    assert trainer._use_fused_train() is False
+    on_tpu = jax.default_backend() == "tpu"
+    assert trainer._use_fused_train() is on_tpu
     monkeypatch.setenv("FDIFF_FUSED_TRAIN", "1")
     assert trainer._use_fused_train() is True
     monkeypatch.setenv("FDIFF_FUSED_TRAIN", "0")

@@ -219,3 +219,59 @@ def test_ema_disabled_keeps_reference_behavior() -> None:
     t = Trainer(_tiny_model(), VPScheduler(), max_epochs=1, lr_max=1e-3)
     state = t.fit(dm)
     assert state.ema_params == {}
+
+
+def test_spike_rollback_guard(monkeypatch) -> None:
+    """Inject a loss spike and assert the trainer rewinds two epochs,
+    perturbs the stream, and completes every epoch exactly once in
+    history (the guard converts a rare knife-edge collapse into a logged
+    recovery, RESULTS.md "fused-training collapse")."""
+    dm = _datamodule(standardize=True)
+    model = _tiny_model("mlp")
+    trainer = Trainer(
+        model,
+        VPScheduler(),
+        max_epochs=10,
+        lr_max=1e-3,
+        spike_rollback_factor=2.0,
+        spike_rollback_retries=2,
+    )
+
+    real_make = trainer._make_epoch_fns
+    executed = {"n": 0}
+
+    def fake_make(optimizer):
+        train_epoch, eval_epoch = real_make(optimizer)
+
+        def wrapped(state, x_all, perm, key):
+            state, loss = train_epoch(state, x_all, perm, key)
+            executed["n"] += 1
+            if executed["n"] == 8:  # one-off spike on the 8th executed epoch
+                loss = loss * 100.0
+            return state, loss
+
+        return wrapped, eval_epoch
+
+    monkeypatch.setattr(trainer, "_make_epoch_fns", fake_make)
+    trainer.fit(dm)
+
+    epochs = [h["epoch"] for h in trainer.history]
+    assert epochs == list(range(10)), epochs
+    # The spiked epoch re-ran: 10 recorded + 1 spiked-and-discarded + 1
+    # rewound predecessor re-executed.
+    assert executed["n"] == 12, executed["n"]
+    assert all(abs(h["train/loss"]) < 1.0 for h in trainer.history)
+    # Post-rollback epochs carry the stream-salt marker.
+    assert trainer.history[-1].get("stream_salt") == 1
+
+
+def test_no_rollback_on_normal_run() -> None:
+    dm = _datamodule(standardize=True)
+    model = _tiny_model("mlp")
+    trainer = Trainer(
+        model, VPScheduler(), max_epochs=8, lr_max=1e-3,
+        spike_rollback_factor=2.5,
+    )
+    trainer.fit(dm)
+    assert [h["epoch"] for h in trainer.history] == list(range(8))
+    assert not any("stream_salt" in h for h in trainer.history)
