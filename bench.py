@@ -45,10 +45,14 @@ def bench_train() -> None:
 
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     epochs = int(os.environ.get("BENCH_EPOCHS", "6"))
+    # BENCH_DTYPE=bfloat16 measures the bf16 fused-train variant (the
+    # Pallas fwd+bwd kernels follow the model compute dtype; fp32 is the
+    # quality-validated default — RESULTS.md "bf16 fused training").
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
     dm = DummyDatamodule(batch_size=batch, n_channels=1, max_len=187, standardize=True)
     dm.prepare_data()
     dm.setup()
-    model = ScoreModelConfig(model_type="transformer").build(1, 187)
+    model = ScoreModelConfig(model_type="transformer", dtype=dtype).build(1, 187)
     trainer = Trainer(model, VPScheduler(fourier_noise_scaling=True), max_epochs=epochs)
     trainer.fit(dm)
     steady = [h["steps_per_sec"] for h in trainer.history[1:]]

@@ -38,7 +38,7 @@ from fourierdiffusion_tpu.sampling.metrics import (  # noqa: E402
 from fourierdiffusion_tpu.sampling.sampler import DiffusionSampler  # noqa: E402
 from fourierdiffusion_tpu.schedulers import VPScheduler  # noqa: E402
 from fourierdiffusion_tpu.utils.torch_import import (  # noqa: E402
-    import_transformer_state_dict,
+    _IMPORTERS,
     load_torch_state_dict,
 )
 
@@ -46,6 +46,7 @@ from fourierdiffusion_tpu.utils.torch_import import (  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", type=Path, required=True)
+    ap.add_argument("--model", default="transformer", choices=sorted(_IMPORTERS))
     ap.add_argument("--fourier", action="store_true")
     ap.add_argument("--d-model", type=int, default=72)
     ap.add_argument("--num-layers", type=int, default=10)
@@ -74,13 +75,14 @@ def main() -> None:
             "\n(see RESULTS.md 'Reproduce' for the exact flags)."
         )
     sd = load_torch_state_dict(model_pt)
-    variables = import_transformer_state_dict(sd, num_layers=args.num_layers)
+    variables = _IMPORTERS[args.model](sd, num_layers=args.num_layers)
 
+    model_kwargs = {"n_head": args.n_head} if args.model == "transformer" else {}
     model = ScoreModelConfig(
-        model_type="transformer",
+        model_type=args.model,
         d_model=args.d_model,
         num_layers=args.num_layers,
-        n_head=args.n_head,
+        **model_kwargs,
     ).build(n_channels=params["n_channels"], max_len=params["max_len"])
     scheduler = VPScheduler(fourier_noise_scaling=args.fourier)
     sampler = DiffusionSampler(
