@@ -92,15 +92,15 @@ def main() -> None:
     @jax.jit
     def probe(params, t, key):
         tv = jnp.full((x0.shape[0],), t, x0.dtype)
-        m, s = scheduler.marginal_prob(x0, tv)
+        m, s = scheduler.marginal_prob(x0, tv)  # std: (B, L) diagonal
         z = jax.random.normal(key, x0.shape, x0.dtype)
-        x_t = m + s[None, :, None] * z
+        x_t = m + s[:, :, None] * z
         score = model.apply(
             {"params": params, "constants": constants}, x_t, tv,
             deterministic=True,
         )
         # std*score ~ -z for a perfect score: unit scale.
-        return jnp.mean(jnp.abs(s[None, :, None] * score))
+        return jnp.mean(jnp.abs(s[:, :, None] * score))
 
     key = jax.random.PRNGKey(args.seed)
     print("t->eps probe: mean |std(t) * score| (1.0 = perfect scale)")
