@@ -54,6 +54,19 @@ def test_scheduler_group_override() -> None:
     assert cfg["score_model"]["noise_scheduler"]["kind"] == "vesde"
 
 
+def test_fast_score_model_config() -> None:
+    """Opt-in MXU-aligned shape (configs/score_model/fast.yaml): head_dim
+    128/8 = 16 fills the bf16 sublane tile; ``fourier_transform`` still
+    threads into its noise scaling."""
+    cfg = compose("train", ["score_model=fast", "fourier_transform=true"])
+    sm = cfg["score_model"]
+    assert sm["model_type"] == "transformer"
+    assert sm["d_model"] == 128 and sm["n_head"] == 8
+    assert sm["d_model"] // sm["n_head"] == 16
+    assert sm["fourier_noise_scaling"] is True
+    assert sm["noise_scheduler"]["kind"] == "vpsde"
+
+
 @pytest.mark.parametrize("score_model", ["default", "mlp", "lstm"])
 @pytest.mark.parametrize("scheduler", ["vpsde", "vesde"])
 def test_all_score_model_configs_constructible(score_model, scheduler) -> None:

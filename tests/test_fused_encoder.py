@@ -50,6 +50,21 @@ def test_fused_forward_matches_canonical(max_len, n_channels):
     )
 
 
+def test_fused_forward_full_tile_head_dim():
+    """head_dim == DH_PAD (16): the no-padding branch of the head
+    packers — the shape used by the opt-in ``score_model=fast`` config
+    (d_model 128, 8 heads; here d_model 64 / 4 heads keeps interpret
+    mode cheap)."""
+    model, variables, x, t = _build(19, 1, d_model=64, n_head=4)
+    ref = model.apply(variables, x, t, deterministic=True)
+    out = fused_score_forward(
+        model, pack_score_transformer(model, variables), x, t
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=TOL * 10, rtol=TOL
+    )
+
+
 @pytest.mark.parametrize("r_chains", [1, 2, 4])
 def test_fused_r_chain_blocks_match(r_chains, monkeypatch):
     monkeypatch.setenv("FDIFF_FUSED_R", str(r_chains))
