@@ -210,9 +210,18 @@ class Trainer:
             )
             params = optax.apply_updates(state.params, updates)
             if ema_decay > 0.0:
-                # EMA initialized at the init weights, so no debiasing.
+                # Warmed-up decay min(decay, (1+t)/(10+t)): the EMA is
+                # initialized at the init weights, so a fixed 0.999 decay
+                # would keep it biased toward init for ~1/(1-decay) steps
+                # — longer than a short run (the 60-epoch head-to-head is
+                # 960 steps). The warmup tracks params early (~t/10-step
+                # horizon) and reaches the configured decay by t≈1e4,
+                # leaving long runs unchanged. Classic zero-debias
+                # alternative to storing a step-corrected average.
+                t = state.step.astype(jnp.float32) + 1.0
+                d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
                 ema = jax.tree_util.tree_map(
-                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    lambda e, p: d * e + (1.0 - d) * p,
                     state.ema_params,
                     params,
                 )

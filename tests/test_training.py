@@ -214,6 +214,43 @@ def test_ema_weights(tmp_path) -> None:
     )
 
 
+def test_ema_warmup_tracks_params_on_short_runs() -> None:
+    """The warmed-up decay min(decay, (1+t)/(10+t)) must keep a
+    short-horizon EMA near the *current* weights instead of pinned at
+    init: with a fixed 0.999 decay over ~20 steps the EMA would retain
+    ~98% init weight, which made 60-epoch (960-step) EMA checkpoints
+    systematically stale (round-3 LSTM head-to-head finding)."""
+    dm = _datamodule(standardize=True)
+    model = _tiny_model()
+    t = Trainer(model, VPScheduler(), max_epochs=2, lr_max=1e-2, ema_decay=0.999)
+    # Reproduce the trainer's own init draw (trainer.py: split(PRNGKey(seed))).
+    dm.prepare_data()
+    dm.setup()
+    x_train = dm.train_arrays().standardized()
+    init_key, _ = jax.random.split(jax.random.PRNGKey(t.seed))
+    init_params = model.init(
+        init_key, jnp.asarray(x_train[:1]), jnp.zeros((1,), x_train.dtype)
+    )["params"]
+    state = t.fit(dm)
+    d_init = sum(
+        float(jnp.abs(e - i).sum())
+        for e, i in zip(
+            jax.tree_util.tree_leaves(state.ema_params),
+            jax.tree_util.tree_leaves(init_params),
+        )
+    )
+    d_final = sum(
+        float(jnp.abs(e - p).sum())
+        for e, p in zip(
+            jax.tree_util.tree_leaves(state.ema_params),
+            jax.tree_util.tree_leaves(state.params),
+        )
+    )
+    assert d_final < d_init, (
+        f"EMA stuck near init: |ema-final|={d_final:.4g} vs |ema-init|={d_init:.4g}"
+    )
+
+
 def test_ema_disabled_keeps_reference_behavior() -> None:
     dm = _datamodule(standardize=True)
     t = Trainer(_tiny_model(), VPScheduler(), max_epochs=1, lr_max=1e-3)
