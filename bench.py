@@ -93,11 +93,16 @@ def main() -> None:
 
     # BENCH_MODEL=fast benches the opt-in MXU-aligned shape (d_model 128,
     # 8 heads => head_dim 16 fills the 16-sublane tile; configs/
-    # score_model/fast.yaml). Default stays the reference flagship shape.
+    # score_model/fast.yaml). fast512 additionally narrows the FFN to 512:
+    # at d_model 128 the d_ff=2048 FFN costs the same MXU time as at d72
+    # (utilization gain exactly cancels the extra FLOPs), so the FFN width
+    # is the remaining throughput lever. Default stays the reference shape.
     shape = os.environ.get("BENCH_MODEL", "default")
-    shape_kwargs = (
-        {"d_model": 128, "n_head": 8} if shape == "fast" else {}
-    )
+    shape_kwargs = {
+        "default": {},
+        "fast": {"d_model": 128, "n_head": 8},
+        "fast512": {"d_model": 128, "n_head": 8, "dim_feedforward": 512},
+    }[shape]
     model = ScoreModelConfig(
         model_type="transformer", dtype="bfloat16", **shape_kwargs
     ).build(n_channels=n_channels, max_len=max_len)
@@ -126,20 +131,24 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    n_batches = int(os.environ.get("BENCH_REPS", "3" if steps < 1000 else "2"))
+    n_batches = int(os.environ.get("BENCH_REPS", "3"))
     rep_times = []
     for i in range(n_batches):
         t0 = time.perf_counter()
         out = fn(variables, jax.random.PRNGKey(2 + i))
         out.block_until_ready()
         rep_times.append(time.perf_counter() - t0)
-    dt = sum(rep_times)
     print(
         "# reps: " + " ".join(f"{batch / t:.1f}" for t in rep_times) + " samples/s",
         file=sys.stderr,
     )
 
-    samples_per_sec = n_batches * batch / dt
+    # Median rep, matching train mode: the axon tunnel occasionally stalls
+    # one dispatch by minutes (observed: 183 s then 15.3 s for identical
+    # programs), which a sum-over-reps would misreport as throughput.
+    import statistics
+
+    samples_per_sec = batch / statistics.median(rep_times)
     per_chip_target = 10000.0 / 60.0 / 8.0  # v5e-8 north star, per chip
     print(
         json.dumps(

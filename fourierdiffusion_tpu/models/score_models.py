@@ -47,6 +47,7 @@ class ScoreTransformer(nn.Module):
     d_model: int = 72
     num_layers: int = 10
     n_head: int = 12
+    dim_feedforward: int = 2048
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_pallas: Optional[bool] = None
@@ -68,6 +69,7 @@ class ScoreTransformer(nn.Module):
         x = TransformerEncoder(
             d_model=self.d_model,
             n_head=self.n_head,
+            dim_feedforward=self.dim_feedforward,
             num_layers=self.num_layers,
             dropout_rate=self.dropout_rate,
             use_pallas=self.use_pallas,
@@ -170,6 +172,7 @@ class ScoreModelConfig:
     d_model: int = 72
     num_layers: int = 10
     n_head: int = 12
+    dim_feedforward: int = 2048
     d_mlp: int = 1024
     dropout_rate: float = 0.1
     dtype: str = "float32"
@@ -187,6 +190,7 @@ class ScoreModelConfig:
         if self.model_type == "transformer":
             return ScoreTransformer(
                 n_head=self.n_head,
+                dim_feedforward=self.dim_feedforward,
                 dropout_rate=self.dropout_rate,
                 use_pallas=self.use_pallas,
                 **common,

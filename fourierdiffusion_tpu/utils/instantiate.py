@@ -37,6 +37,7 @@ def build_model_config(cfg: dict) -> ScoreModelConfig:
         d_model=int(cfg.get("d_model", 72)),
         num_layers=int(cfg.get("num_layers", 10)),
         n_head=int(cfg.get("n_head", 12)),
+        dim_feedforward=int(cfg.get("dim_feedforward", 2048)),
         d_mlp=int(cfg.get("d_mlp", 1024)),
         dropout_rate=float(cfg.get("dropout_rate", 0.1)),
         dtype=str(cfg.get("dtype", "float32")),

@@ -67,6 +67,24 @@ def test_fast_score_model_config() -> None:
     assert sm["noise_scheduler"]["kind"] == "vpsde"
 
 
+def test_dim_feedforward_override_threads_to_module() -> None:
+    """``score_model.dim_feedforward`` (torch ``dim_feedforward``, default
+    2048 per the reference's ``nn.TransformerEncoderLayer``) must reach the
+    built flax module — it is the dominant FLOP term at MXU-aligned widths."""
+    cfg = compose(
+        "train", ["score_model=fast", "score_model.dim_feedforward=512"]
+    )
+    mc = build_model_config(cfg["score_model"])
+    assert mc.dim_feedforward == 512
+    model = mc.build(n_channels=1, max_len=16)
+    assert model.dim_feedforward == 512
+    # Default stays the torch/reference value when unset.
+    mc_default = build_model_config(
+        compose("train", [])["score_model"]
+    )
+    assert mc_default.dim_feedforward == 2048
+
+
 @pytest.mark.parametrize("score_model", ["default", "mlp", "lstm"])
 @pytest.mark.parametrize("scheduler", ["vpsde", "vesde"])
 def test_all_score_model_configs_constructible(score_model, scheduler) -> None:
