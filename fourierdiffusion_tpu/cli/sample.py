@@ -66,9 +66,23 @@ class SamplingRunner:
         self.num_samples = int(cfg["num_samples"])
         self.num_diffusion_steps = int(cfg["num_diffusion_steps"])
 
-        ckpt_path = get_best_checkpoint(self.save_dir / "checkpoints")
-        logger.info("Restoring %s", ckpt_path)
-        self.variables = load_checkpoint(ckpt_path)
+        # checkpoint=best (default) mirrors the reference's lowest-val-loss
+        # selection (reference extraction.py:80-98). checkpoint=last loads
+        # the final epoch instead — at the full 10k-sample protocol the
+        # last checkpoint measures materially better than best-val
+        # (RESULTS.md "EMA 10k tail divergence: resolved").
+        which = str(cfg.get("checkpoint", "best"))
+        if which == "last":
+            from fourierdiffusion_tpu.utils.checkpoint import load_last_checkpoint
+
+            logger.info("Restoring last (final-epoch) checkpoint")
+            self.variables = load_last_checkpoint(self.save_dir / "checkpoints")
+        elif which == "best":
+            ckpt_path = get_best_checkpoint(self.save_dir / "checkpoints")
+            logger.info("Restoring %s", ckpt_path)
+            self.variables = load_checkpoint(ckpt_path)
+        else:
+            raise ValueError(f"checkpoint must be 'best' or 'last', got {which!r}")
 
         self.scheduler = build_scheduler(train_cfg["score_model"]["noise_scheduler"])
         params = self.datamodule.dataset_parameters

@@ -73,6 +73,21 @@ def load_checkpoint(path: Path) -> dict[str, Any]:
         return ckptr.restore(Path(path).resolve())
 
 
+def load_last_checkpoint(checkpoints_dir: Path) -> dict[str, Any]:
+    """Load the final-epoch full-state checkpoint (``<dir>/last``) as
+    sampling variables ``{"params", "constants"}``. Mirrors the best-
+    checkpoint semantics: when EMA was enabled during training the EMA
+    params are the evaluated weight set (``training/trainer.py``
+    ``eval_params``), so they are returned here too."""
+    last_dir = (Path(checkpoints_dir) / "last").resolve()
+    if not last_dir.exists():
+        raise FileNotFoundError(f"No 'last' checkpoint under {checkpoints_dir}")
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(last_dir)
+    params = state.get("ema_params") or state["params"]
+    return {"params": params, "constants": state["constants"]}
+
+
 def get_best_checkpoint(checkpoints_dir: Path) -> Path:
     """Minimum recorded ``val_loss`` across saved checkpoints."""
     checkpoints_dir = Path(checkpoints_dir)

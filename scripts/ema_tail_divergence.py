@@ -42,6 +42,15 @@ def main() -> None:
     ap.add_argument("--num-diffusion-steps", type=int, default=1000)
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument(
+        "--checkpoint",
+        default="last",
+        choices=["last", "best"],
+        help="Weight source: the final epoch ('last') or the lowest-val-loss "
+        "checkpoint the sample CLI uses ('best'). Round 3 found the round-2 "
+        "tail anomaly traces to 'best' (epoch 488) vs 'last' (epoch 599), "
+        "not to EMA.",
+    )
     args = ap.parse_args()
 
     import orbax.checkpoint as ocp
@@ -72,8 +81,15 @@ def main() -> None:
         n_channels=p["n_channels"], max_len=p["max_len"]
     )
 
+    if args.checkpoint == "best":
+        from fourierdiffusion_tpu.utils.checkpoint import get_best_checkpoint
+
+        ckpt_path = get_best_checkpoint(run_dir / "checkpoints")
+    else:
+        ckpt_path = run_dir / "checkpoints" / "last"
+    print(f"checkpoint: {ckpt_path.name}", flush=True)
     with ocp.StandardCheckpointer() as ck:
-        last = ck.restore((run_dir / "checkpoints" / "last").resolve())
+        last = ck.restore(ckpt_path.resolve())
     weight_sets = {
         "raw_final": last["params"],
         "ema": last.get("ema_params", None),
@@ -158,7 +174,8 @@ def main() -> None:
               f"tsw={metrics['time_sliced_wasserstein_mean']:.4f} "
               f"fsw={metrics['freq_sliced_wasserstein_mean']:.4f}", flush=True)
 
-    out = run_dir / "ema_tail_divergence.yaml"
+    suffix = "" if args.checkpoint == "last" else f"_{args.checkpoint}"
+    out = run_dir / f"ema_tail_divergence{suffix}.yaml"
     with open(out, "w") as f:
         yaml.safe_dump(results, f)
     print(f"wrote {out}", flush=True)

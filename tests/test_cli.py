@@ -65,6 +65,20 @@ def test_train_then_sample(tmp_path, monkeypatch, fourier) -> None:
     assert np.all(np.isfinite(samples))
     assert (run_dir / run_id / "sample_config.yaml").exists()
 
+    if fourier == "true":
+        # checkpoint=last loads the final epoch instead of best-val
+        # (RESULTS.md "EMA 10k tail divergence: resolved").
+        sample_main([
+            f"model_path={run_dir}",
+            f"model_id={run_id}",
+            "checkpoint=last",
+            "num_samples=16",
+            "num_diffusion_steps=5",
+            "sampler.sample_batch_size=16",
+            "metrics.num_directions=10",
+        ])
+        assert np.all(np.isfinite(np.load(run_dir / run_id / "samples.npy")))
+
 
 def test_train_guard_noise_scaling_without_fourier(tmp_path, monkeypatch) -> None:
     monkeypatch.chdir(tmp_path)
