@@ -97,11 +97,17 @@ def main() -> None:
     # at d_model 128 the d_ff=2048 FFN costs the same MXU time as at d72
     # (utilization gain exactly cancels the extra FLOPs), so the FFN width
     # is the remaining throughput lever. Default stays the reference shape.
+    # heads6 keeps the flagship d_model 72 but partitions it into 6 heads
+    # (head_dim 12 -> 75% of the 16-sublane tile vs the reference 12-head
+    # head_dim 6 -> 37.5%): same parameter count as the flagship up to the
+    # attention partitioning, targeting the S/PV-dot padding floor.
     shape = os.environ.get("BENCH_MODEL", "default")
     shape_kwargs = {
         "default": {},
         "fast": {"d_model": 128, "n_head": 8},
         "fast512": {"d_model": 128, "n_head": 8, "dim_feedforward": 512},
+        "heads6": {"n_head": 6},
+        "heads6_512": {"n_head": 6, "dim_feedforward": 512},
     }[shape]
     model = ScoreModelConfig(
         model_type="transformer", dtype="bfloat16", **shape_kwargs

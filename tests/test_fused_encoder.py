@@ -65,6 +65,21 @@ def test_fused_forward_full_tile_head_dim():
     )
 
 
+def test_fused_forward_head_dim12():
+    """head_dim 12 (pads 12->16, 75% sublane fill): the padding class of
+    the opt-in ``heads6`` bench shape (flagship d_model 72 with 6 heads
+    instead of the reference 12; here d_model 48 / 4 heads keeps
+    interpret mode cheap)."""
+    model, variables, x, t = _build(19, 1, d_model=48, n_head=4)
+    ref = model.apply(variables, x, t, deterministic=True)
+    out = fused_score_forward(
+        model, pack_score_transformer(model, variables), x, t
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=TOL * 10, rtol=TOL
+    )
+
+
 @pytest.mark.parametrize("r_chains", [1, 2, 4])
 def test_fused_r_chain_blocks_match(r_chains, monkeypatch):
     monkeypatch.setenv("FDIFF_FUSED_R", str(r_chains))
