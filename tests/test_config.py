@@ -67,6 +67,19 @@ def test_fast_score_model_config() -> None:
     assert sm["noise_scheduler"]["kind"] == "vpsde"
 
 
+def test_heads6_score_model_config() -> None:
+    """Opt-in head-repartitioning shape (configs/score_model/heads6.yaml):
+    flagship d_model 72 split over 6 heads -> head_dim 12 (75% sublane
+    fill); everything else identical to the reference flagship."""
+    cfg = compose("train", ["score_model=heads6", "fourier_transform=true"])
+    sm = cfg["score_model"]
+    assert sm["model_type"] == "transformer"
+    assert sm["d_model"] == 72 and sm["n_head"] == 6
+    assert sm["d_model"] // sm["n_head"] == 12
+    assert sm["fourier_noise_scaling"] is True
+    assert sm["noise_scheduler"]["kind"] == "vpsde"
+
+
 def test_dim_feedforward_override_threads_to_module() -> None:
     """``score_model.dim_feedforward`` (torch ``dim_feedforward``, default
     2048 per the reference's ``nn.TransformerEncoderLayer``) must reach the
