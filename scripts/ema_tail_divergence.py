@@ -90,12 +90,15 @@ def main() -> None:
     print(f"checkpoint: {ckpt_path.name}", flush=True)
     with ocp.StandardCheckpointer() as ck:
         last = ck.restore(ckpt_path.resolve())
-    weight_sets = {
-        "raw_final": last["params"],
-        "ema": last.get("ema_params", None),
-    }
-    if weight_sets["ema"] is None:
-        raise SystemExit("run has no ema_params in its last checkpoint")
+    if args.checkpoint == "best" or last.get("ema_params") is None:
+        # Best checkpoints store a single weight set (the EMA weights when
+        # EMA was enabled — they drive validation/selection); probe it alone.
+        weight_sets = {args.checkpoint: last["params"]}
+    else:
+        weight_sets = {
+            "raw_final": last["params"],
+            "ema": last["ema_params"],
+        }
     constants = last["constants"]
 
     fourier = bool(cfg.get("fourier_transform", False))
