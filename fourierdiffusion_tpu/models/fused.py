@@ -25,6 +25,7 @@ weight).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import jax.numpy as jnp
@@ -38,12 +39,20 @@ from fourierdiffusion_tpu.ops.fused_encoder import (
 )
 
 
-def pack_score_transformer(model: Any, variables: dict) -> dict:
+def pack_score_transformer(
+    model: Any, variables: dict, int8_ffn: bool | None = None
+) -> dict:
     """Repack canonical ``ScoreTransformer`` variables for the fused path.
 
     Pure jnp; called inside the jitted sampling program *before* the
     ``lax.scan`` so XLA executes it once per program, not per step.
+
+    ``int8_ffn`` selects the W8A8 FFN sampling kernel
+    (``ops/fused_encoder.py``); ``None`` reads ``FDIFF_FUSED_INT8`` at
+    trace time. The training path always passes ``False``.
     """
+    if int8_ffn is None:
+        int8_ffn = os.environ.get("FDIFF_FUSED_INT8", "") not in ("", "0")
     params = variables["params"]
     dtype = model.dtype
 
@@ -52,7 +61,8 @@ def pack_score_transformer(model: Any, variables: dict) -> dict:
     )  # (max_len, D)
     layers = [
         pack_encoder_layer(
-            params["backbone"][f"layers_{i}"], model.n_head, dtype
+            params["backbone"][f"layers_{i}"], model.n_head, dtype,
+            int8_ffn=int8_ffn,
         )
         for i in range(model.num_layers)
     ]
@@ -130,7 +140,7 @@ def fused_score_training_forward(
     )
 
     packed = pack_score_transformer(
-        model, {"params": params, "constants": constants}
+        model, {"params": params, "constants": constants}, int8_ffn=False
     )
     in_dtype = x.dtype
     dtype = model.dtype

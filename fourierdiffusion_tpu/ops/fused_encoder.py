@@ -84,40 +84,51 @@ def _softmax(s: Array, col: Array, l_valid: int, fast: bool) -> Array:
     return e / jnp.sum(e, axis=2, keepdims=True)
 
 
-def _encoder_layer_kernel(
-    x_ref,
+def _gather_chains(x_ref):
+    """(R, D, Lp) block -> (D, R*Lp) lane-concatenated working layout."""
+    r_chains = x_ref.shape[0]
+    x_blk = x_ref[...]
+    return (
+        x_blk[0]
+        if r_chains == 1
+        else jnp.concatenate([x_blk[r] for r in range(r_chains)], axis=-1)
+    )
+
+
+def _scatter_chains(o_ref, y, lp: int) -> None:
+    """Write the (D, R*Lp) working layout back to the (R, D, Lp) block."""
+    r_chains = o_ref.shape[0]
+    if r_chains == 1:
+        o_ref[0] = y
+    else:
+        for r in range(r_chains):
+            o_ref[r] = y[:, r * lp : (r + 1) * lp]
+
+
+def _attention_ln1(
+    x,
     w_qkv_ref, b_qkv_ref,
     w_out_ref, b_out_ref,
     ln1_s_ref, ln1_b_ref,
-    w1_ref, b1_ref,
-    w2_ref, b2_ref,
-    ln2_s_ref, ln2_b_ref,
-    o_ref,
     *,
     n_head: int,
     l_valid: int,
     fast_softmax: bool,
+    r_chains: int,
+    lp: int,
 ):
-    """One full post-LN encoder layer for ``R`` chains.
+    """Attention block + residual + LN1 over the (D, R*Lp) layout.
 
+    Returns the LN1 output in fp32 (callers cast / quantize as needed).
     ``R > 1`` exists for instruction-level parallelism: within one chain
     the blocks are a strict data-dependency chain (MXU idles during
     softmax/LN VPU phases); with independent chains concatenated along
     the lane axis the big matmuls batch across chains and the per-chain
     attention loops give the scheduler independent work to interleave.
     """
-    dtype = x_ref.dtype
-    r_chains, d, lp = x_ref.shape
+    dtype = x.dtype
     hp = n_head * DH_PAD
 
-    x_blk = x_ref[...]
-    x = (
-        x_blk[0]
-        if r_chains == 1
-        else jnp.concatenate([x_blk[r] for r in range(r_chains)], axis=-1)
-    )  # (D, R*Lp)
-
-    # --- attention block -------------------------------------------------
     qkv = jnp.dot(
         w_qkv_ref[...].astype(dtype), x, preferred_element_type=jnp.float32
     ) + b_qkv_ref[...]
@@ -153,8 +164,35 @@ def _encoder_layer_kernel(
         w_out_ref[...].astype(dtype), attn, preferred_element_type=jnp.float32
     ) + b_out_ref[...]
 
-    x1 = _layer_norm(
+    return _layer_norm(
         x.astype(jnp.float32) + attn_out, ln1_s_ref[...], ln1_b_ref[...]
+    )
+
+
+def _encoder_layer_kernel(
+    x_ref,
+    w_qkv_ref, b_qkv_ref,
+    w_out_ref, b_out_ref,
+    ln1_s_ref, ln1_b_ref,
+    w1_ref, b1_ref,
+    w2_ref, b2_ref,
+    ln2_s_ref, ln2_b_ref,
+    o_ref,
+    *,
+    n_head: int,
+    l_valid: int,
+    fast_softmax: bool,
+):
+    """One full post-LN encoder layer for ``R`` chains (bf16/fp32 FFN)."""
+    dtype = x_ref.dtype
+    r_chains, d, lp = x_ref.shape
+    x = _gather_chains(x_ref)  # (D, R*Lp)
+
+    x1 = _attention_ln1(
+        x,
+        w_qkv_ref, b_qkv_ref, w_out_ref, b_out_ref, ln1_s_ref, ln1_b_ref,
+        n_head=n_head, l_valid=l_valid, fast_softmax=fast_softmax,
+        r_chains=r_chains, lp=lp,
     ).astype(dtype)
 
     # --- feed-forward block ----------------------------------------------
@@ -169,11 +207,85 @@ def _encoder_layer_kernel(
     y = _layer_norm(
         x1.astype(jnp.float32) + f, ln2_s_ref[...], ln2_b_ref[...]
     ).astype(dtype)
-    if r_chains == 1:
-        o_ref[0] = y
-    else:
-        for r in range(r_chains):
-            o_ref[r] = y[:, r * lp : (r + 1) * lp]
+    _scatter_chains(o_ref, y, lp)
+
+
+def _quantize_tokens(xf: Array) -> tuple[Array, Array]:
+    """Symmetric per-token (per-lane column) int8 quantization.
+
+    ``xf``: fp32 ``(M, N)``. Returns ``(q int8 (M, N), scale fp32 (1, N))``
+    with ``xf ~= q * scale``. Reduction over the sublane axis rides the
+    VPU; the rescale multiply fuses into the following dot's epilogue.
+    """
+    absmax = jnp.max(jnp.abs(xf), axis=0, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf * (1.0 / scale)), -127.0, 127.0)
+    return q.astype(jnp.int8), scale
+
+
+# Hidden-dim chunk for the int8 FFN: bounds the live int32 accumulator
+# (chunk x R*Lp x 4B; 512 x 1024 = 2 MB at R=4) and gives per-(chunk,
+# token) activation scales, which is strictly finer quantization
+# granularity than per-token over the full hidden width.
+_INT8_FFN_CHUNK = 512
+
+
+def _encoder_layer_kernel_int8(
+    x_ref,
+    w_qkv_ref, b_qkv_ref,
+    w_out_ref, b_out_ref,
+    ln1_s_ref, ln1_b_ref,
+    w1_q_ref, w1_s_ref, b1_ref,
+    w2_q_ref, w2_s_ref, b2_ref,
+    ln2_s_ref, ln2_b_ref,
+    o_ref,
+    *,
+    n_head: int,
+    l_valid: int,
+    fast_softmax: bool,
+):
+    """Encoder layer with W8A8 int8 FFN dots (sampling path, opt-in).
+
+    The FFN contractions are the only MXU shapes here that benefit from
+    int8's 2x issue rate: their contraction dims (d_model and chunk=512)
+    survive the (32, 128) int8 tile, while the attention S/PV dots'
+    head_dim-6..16 contractions would *lose* utilization (head_dim pads
+    to 32 sublanes in int8 vs 16 in bf16), so attention stays bf16.
+    Weights carry static per-output-row scales (packed once, outside the
+    sampling scan); activations are quantized per token on the fly.
+    """
+    dtype = x_ref.dtype
+    r_chains, d, lp = x_ref.shape
+    x = _gather_chains(x_ref)  # (D, R*Lp)
+
+    x1f = _attention_ln1(
+        x,
+        w_qkv_ref, b_qkv_ref, w_out_ref, b_out_ref, ln1_s_ref, ln1_b_ref,
+        n_head=n_head, l_valid=l_valid, fast_softmax=fast_softmax,
+        r_chains=r_chains, lp=lp,
+    )
+
+    # --- int8 feed-forward block ------------------------------------------
+    q_x, s_x = _quantize_tokens(x1f)
+    d_ff = w1_q_ref.shape[0]
+    w2_s = w2_s_ref[...]
+    f = jnp.zeros((d, r_chains * lp), jnp.float32)
+    for c0 in range(0, d_ff, _INT8_FFN_CHUNK):
+        c1 = min(c0 + _INT8_FFN_CHUNK, d_ff)
+        acc = jnp.dot(
+            w1_q_ref[c0:c1, :], q_x, preferred_element_type=jnp.int32
+        )
+        h = acc.astype(jnp.float32) * (w1_s_ref[c0:c1] * s_x) + b1_ref[c0:c1]
+        h = jnp.maximum(h, 0.0)
+        q_h, s_h = _quantize_tokens(h)
+        acc2 = jnp.dot(
+            w2_q_ref[:, c0:c1], q_h, preferred_element_type=jnp.int32
+        )
+        f = f + acc2.astype(jnp.float32) * (w2_s * s_h)
+    f = f + b2_ref[...]
+
+    y = _layer_norm(x1f + f, ln2_s_ref[...], ln2_b_ref[...]).astype(dtype)
+    _scatter_chains(o_ref, y, lp)
 
 
 def _col_vec(v: Array) -> Array:
@@ -181,9 +293,28 @@ def _col_vec(v: Array) -> Array:
     return v.astype(jnp.float32)[:, None]
 
 
-def pack_encoder_layer(params: dict, n_head: int, dtype: DTypeLike) -> dict[str, Array]:
+def _quantize_rows(w: Array) -> tuple[Array, Array]:
+    """Symmetric per-output-row int8 weight quantization.
+
+    ``w``: ``(out, in)``. Returns ``(q int8, scale fp32 (out, 1))`` with
+    ``w ~= q * scale``. Packed once per sampling program.
+    """
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(wf * (1.0 / scale)), -127.0, 127.0)
+    return q.astype(jnp.int8), scale
+
+
+def pack_encoder_layer(
+    params: dict, n_head: int, dtype: DTypeLike, int8_ffn: bool = False
+) -> dict[str, Array]:
     """Repack one canonical flax encoder-layer param subtree
-    (``models/transformer.py:22-57`` structure) into the kernel layout."""
+    (``models/transformer.py:22-57`` structure) into the kernel layout.
+
+    ``int8_ffn=True`` replaces the FFN weights with int8 values plus
+    per-output-row fp32 scales (W8A8 sampling path, ``FDIFF_FUSED_INT8``).
+    """
     d_model = params["norm1"]["scale"].shape[0]
     dh = d_model // n_head
 
@@ -217,25 +348,37 @@ def pack_encoder_layer(params: dict, n_head: int, dtype: DTypeLike) -> dict[str,
     w_out = jnp.pad(w_out, ((0, 0), (0, DH_PAD - dh), (0, 0)))
     w_out = w_out.reshape(n_head * DH_PAD, d_model).T  # (D, H*DH_PAD)
 
-    return {
+    packed = {
         "w_qkv": w_qkv.astype(dtype),
         "b_qkv": _col_vec(b_qkv),
         "w_out": w_out.astype(dtype),
         "b_out": _col_vec(params["self_attn"]["out_proj"]["bias"]),
         "ln1_s": _col_vec(params["norm1"]["scale"]),
         "ln1_b": _col_vec(params["norm1"]["bias"]),
-        "w1": params["linear1"]["kernel"].T.astype(dtype),
         "b1": _col_vec(params["linear1"]["bias"]),
-        "w2": params["linear2"]["kernel"].T.astype(dtype),
         "b2": _col_vec(params["linear2"]["bias"]),
         "ln2_s": _col_vec(params["norm2"]["scale"]),
         "ln2_b": _col_vec(params["norm2"]["bias"]),
     }
+    w1 = params["linear1"]["kernel"].T  # (d_ff, D)
+    w2 = params["linear2"]["kernel"].T  # (D, d_ff)
+    if int8_ffn:
+        packed["w1_q"], packed["w1_s"] = _quantize_rows(w1)
+        packed["w2_q"], packed["w2_s"] = _quantize_rows(w2)
+    else:
+        packed["w1"] = w1.astype(dtype)
+        packed["w2"] = w2.astype(dtype)
+    return packed
 
 
 _LAYER_KEYS = (
     "w_qkv", "b_qkv", "w_out", "b_out", "ln1_s", "ln1_b",
     "w1", "b1", "w2", "b2", "ln2_s", "ln2_b",
+)
+
+_LAYER_KEYS_INT8 = (
+    "w_qkv", "b_qkv", "w_out", "b_out", "ln1_s", "ln1_b",
+    "w1_q", "w1_s", "b1", "w2_q", "w2_s", "b2", "ln2_s", "ln2_b",
 )
 
 
@@ -273,7 +416,9 @@ def fused_encoder_layer(
         r = 1
     x_spec = pl.BlockSpec((r, d, lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
-    consts = [layer[k] for k in _LAYER_KEYS]
+    int8_ffn = "w1_q" in layer
+    keys = _LAYER_KEYS_INT8 if int8_ffn else _LAYER_KEYS
+    consts = [layer[k] for k in keys]
     c_specs = [
         pl.BlockSpec(
             c.shape, (lambda i, _n=c.ndim: (0,) * _n), memory_space=pltpu.VMEM
@@ -281,7 +426,7 @@ def fused_encoder_layer(
         for c in consts
     ]
     kernel = functools.partial(
-        _encoder_layer_kernel,
+        _encoder_layer_kernel_int8 if int8_ffn else _encoder_layer_kernel,
         n_head=n_head,
         l_valid=l_valid,
         fast_softmax=x.dtype == jnp.bfloat16,
