@@ -94,3 +94,22 @@ def test_training_pack_never_int8(monkeypatch):
         jax.random.PRNGKey(3),
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_int8_full_sampling_program(monkeypatch):
+    """FDIFF_FUSED_INT8 plumbs through make_sample_fn/DiffusionSampler:
+    the whole fused reverse chain runs with int8 FFN dots and stays
+    close to the bf16 fused chain under the identical RNG stream."""
+    from fourierdiffusion_tpu.sampling.sampler import make_sample_fn
+    from fourierdiffusion_tpu.schedulers import VPScheduler
+
+    model, variables, _, _ = _build(16, 2)
+    scheduler = VPScheduler(fourier_noise_scaling=False)
+    kwargs = dict(num_diffusion_steps=5, batch_size=4, max_len=16, n_channels=2)
+    key = jax.random.PRNGKey(7)
+    monkeypatch.delenv("FDIFF_FUSED_INT8", raising=False)
+    ref = np.asarray(make_sample_fn(model, scheduler, fused=True, **kwargs)(variables, key))
+    monkeypatch.setenv("FDIFF_FUSED_INT8", "1")
+    out = np.asarray(make_sample_fn(model, scheduler, fused=True, **kwargs)(variables, key))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
