@@ -40,19 +40,23 @@ from fourierdiffusion_tpu.ops.fused_encoder import (
 
 
 def pack_score_transformer(
-    model: Any, variables: dict, int8_ffn: bool | None = None
+    model: Any, variables: dict, int8_ffn: bool | int | None = None
 ) -> dict:
     """Repack canonical ``ScoreTransformer`` variables for the fused path.
 
     Pure jnp; called inside the jitted sampling program *before* the
     ``lax.scan`` so XLA executes it once per program, not per step.
 
-    ``int8_ffn`` selects the W8A8 FFN sampling kernel
-    (``ops/fused_encoder.py``); ``None`` reads ``FDIFF_FUSED_INT8`` at
-    trace time. The training path always passes ``False``.
+    ``int8_ffn`` selects the W8A8 sampling kernels
+    (``ops/fused_encoder.py``): 1/True quantizes the FFN dots, 2 also
+    quantizes the attention-side QKV / PV / out-proj dots; ``None``
+    reads ``FDIFF_FUSED_INT8`` at trace time. The training path always
+    passes ``False``.
     """
     if int8_ffn is None:
-        int8_ffn = os.environ.get("FDIFF_FUSED_INT8", "") not in ("", "0")
+        raw = os.environ.get("FDIFF_FUSED_INT8", "").strip()
+        int8_ffn = 0 if raw in ("", "0") else (2 if raw == "2" else 1)
+    level = int(int8_ffn)
     params = variables["params"]
     dtype = model.dtype
 
@@ -62,7 +66,7 @@ def pack_score_transformer(
     layers = [
         pack_encoder_layer(
             params["backbone"][f"layers_{i}"], model.n_head, dtype,
-            int8_ffn=int8_ffn,
+            int8_ffn=level >= 1, int8_attn=level >= 2,
         )
         for i in range(model.num_layers)
     ]

@@ -210,17 +210,22 @@ def _encoder_layer_kernel(
     _scatter_chains(o_ref, y, lp)
 
 
-def _quantize_tokens(xf: Array) -> tuple[Array, Array]:
-    """Symmetric per-token (per-lane column) int8 quantization.
+def _quantize_along(xf: Array, axis: int) -> tuple[Array, Array]:
+    """Symmetric int8 quantization with one scale per slice along ``axis``.
 
-    ``xf``: fp32 ``(M, N)``. Returns ``(q int8 (M, N), scale fp32 (1, N))``
-    with ``xf ~= q * scale``. Reduction over the sublane axis rides the
-    VPU; the rescale multiply fuses into the following dot's epilogue.
+    ``xf``: fp32. Returns ``(q int8, scale fp32)`` with ``xf ~= q * scale``
+    (scale keeps ``axis`` as a broadcast dim). The absmax reduction rides
+    the VPU; the rescale multiply fuses into the following dot's epilogue.
     """
-    absmax = jnp.max(jnp.abs(xf), axis=0, keepdims=True)
+    absmax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
     scale = jnp.maximum(absmax, 1e-12) * (1.0 / 127.0)
     q = jnp.clip(jnp.round(xf * (1.0 / scale)), -127.0, 127.0)
     return q.astype(jnp.int8), scale
+
+
+def _quantize_tokens(xf: Array) -> tuple[Array, Array]:
+    """Per-token (per-lane column) int8 quantization of an ``(M, N)`` tile."""
+    return _quantize_along(xf, 0)
 
 
 # Hidden-dim chunk for the int8 FFN: bounds the live int32 accumulator
@@ -264,12 +269,22 @@ def _encoder_layer_kernel_int8(
         n_head=n_head, l_valid=l_valid, fast_softmax=fast_softmax,
         r_chains=r_chains, lp=lp,
     )
+    f = _ffn_int8(x1f, w1_q_ref, w1_s_ref, b1_ref, w2_q_ref, w2_s_ref, b2_ref, d)
+    y = _layer_norm(x1f + f, ln2_s_ref[...], ln2_b_ref[...]).astype(dtype)
+    _scatter_chains(o_ref, y, lp)
 
-    # --- int8 feed-forward block ------------------------------------------
+
+def _ffn_int8(
+    x1f: Array,
+    w1_q_ref, w1_s_ref, b1_ref,
+    w2_q_ref, w2_s_ref, b2_ref,
+    d: int,
+) -> Array:
+    """W8A8 feed-forward over the fp32 ``(D, R*Lp)`` LN1 output."""
     q_x, s_x = _quantize_tokens(x1f)
     d_ff = w1_q_ref.shape[0]
     w2_s = w2_s_ref[...]
-    f = jnp.zeros((d, r_chains * lp), jnp.float32)
+    f = jnp.zeros((d, x1f.shape[1]), jnp.float32)
     for c0 in range(0, d_ff, _INT8_FFN_CHUNK):
         c1 = min(c0 + _INT8_FFN_CHUNK, d_ff)
         acc = jnp.dot(
@@ -282,8 +297,119 @@ def _encoder_layer_kernel_int8(
             w2_q_ref[:, c0:c1], q_h, preferred_element_type=jnp.int32
         )
         f = f + acc2.astype(jnp.float32) * (w2_s * s_h)
-    f = f + b2_ref[...]
+    return f + b2_ref[...]
 
+
+def _attention_ln1_int8(
+    x,
+    w_qkv_q_ref, w_qkv_s_ref, b_qkv_ref,
+    w_out_q_ref, w_out_s_ref, b_out_ref,
+    ln1_s_ref, ln1_b_ref,
+    *,
+    n_head: int,
+    l_valid: int,
+    fast_softmax: bool,
+    r_chains: int,
+    lp: int,
+):
+    """Attention block with int8 QKV / PV / out-proj dots, bf16 S dot.
+
+    Contraction dims decide what quantizes profitably under the (32, 128)
+    int8 tile: QKV contracts d_model (pad 96 int8 vs 80 bf16, 2x issue
+    rate -> ~1.67x), PV contracts Lp and out-proj contracts H*DH_PAD
+    (both 128-aligned -> 2x). The S dot contracts head_dim (pads 32 int8
+    vs 16 bf16 -> exact wash) and carries the softmax's numerical
+    sensitivity, so it stays bf16 on dequantized Q/K.
+    """
+    dtype = x.dtype
+    hp = n_head * DH_PAD
+
+    q_x, s_x = _quantize_tokens(x.astype(jnp.float32))
+    qkv_f = (
+        jnp.dot(w_qkv_q_ref[...], q_x, preferred_element_type=jnp.int32)
+        .astype(jnp.float32)
+        * (w_qkv_s_ref[...] * s_x)
+        + b_qkv_ref[...]
+    )  # (3*H*DH_PAD, R*Lp) fp32
+    qkv = qkv_f.astype(dtype)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, lp, lp), dimension=2)
+    group = _head_group(n_head, lp, live_bytes_per_elem=12 * r_chains)
+    per_chain = []
+    for r in range(r_chains):
+        lanes = slice(r * lp, (r + 1) * lp)
+        groups = []
+        for g0 in range(0, n_head, group):
+            lo, hi = g0 * DH_PAD, (g0 + group) * DH_PAD
+            q = qkv[lo:hi, lanes].reshape(group, DH_PAD, lp)
+            k = qkv[hp + lo : hp + hi, lanes].reshape(group, DH_PAD, lp)
+            vf = qkv_f[2 * hp + lo : 2 * hp + hi, lanes].reshape(
+                group, DH_PAD, lp
+            )
+            s = jax.lax.dot_general(
+                q, k, _DOT_S, preferred_element_type=jnp.float32
+            )
+            p = _softmax(s, col, l_valid, fast_softmax)
+            q_v, s_v = _quantize_along(vf, 2)  # (g, DH, 1) scales
+            # _DOT_PV contracts p's axis 2 (keys j); o's lane axis is
+            # p's axis 1 (queries i), so the per-(head, query) scales
+            # swap into (g, 1, Lp) for the dequant broadcast.
+            q_p, s_p = _quantize_along(p, 2)
+            o = jax.lax.dot_general(
+                q_v, q_p, _DOT_PV, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (s_v * jnp.swapaxes(s_p, 1, 2))
+            groups.append(o.reshape(group * DH_PAD, lp))
+        per_chain.append(
+            groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
+        )
+    attn = (
+        per_chain[0]
+        if r_chains == 1
+        else jnp.concatenate(per_chain, axis=-1)
+    )  # (H*DH_PAD, R*Lp) fp32
+
+    q_a, s_a = _quantize_tokens(attn)
+    attn_out = (
+        jnp.dot(w_out_q_ref[...], q_a, preferred_element_type=jnp.int32)
+        .astype(jnp.float32)
+        * (w_out_s_ref[...] * s_a)
+        + b_out_ref[...]
+    )
+
+    return _layer_norm(
+        x.astype(jnp.float32) + attn_out, ln1_s_ref[...], ln1_b_ref[...]
+    )
+
+
+def _encoder_layer_kernel_int8_attn(
+    x_ref,
+    w_qkv_q_ref, w_qkv_s_ref, b_qkv_ref,
+    w_out_q_ref, w_out_s_ref, b_out_ref,
+    ln1_s_ref, ln1_b_ref,
+    w1_q_ref, w1_s_ref, b1_ref,
+    w2_q_ref, w2_s_ref, b2_ref,
+    ln2_s_ref, ln2_b_ref,
+    o_ref,
+    *,
+    n_head: int,
+    l_valid: int,
+    fast_softmax: bool,
+):
+    """Encoder layer with int8 FFN *and* attention-side dots
+    (``FDIFF_FUSED_INT8=2``); only the softmax-feeding S dot stays bf16."""
+    dtype = x_ref.dtype
+    r_chains, d, lp = x_ref.shape
+    x = _gather_chains(x_ref)
+
+    x1f = _attention_ln1_int8(
+        x,
+        w_qkv_q_ref, w_qkv_s_ref, b_qkv_ref,
+        w_out_q_ref, w_out_s_ref, b_out_ref,
+        ln1_s_ref, ln1_b_ref,
+        n_head=n_head, l_valid=l_valid, fast_softmax=fast_softmax,
+        r_chains=r_chains, lp=lp,
+    )
+    f = _ffn_int8(x1f, w1_q_ref, w1_s_ref, b1_ref, w2_q_ref, w2_s_ref, b2_ref, d)
     y = _layer_norm(x1f + f, ln2_s_ref[...], ln2_b_ref[...]).astype(dtype)
     _scatter_chains(o_ref, y, lp)
 
@@ -307,13 +433,19 @@ def _quantize_rows(w: Array) -> tuple[Array, Array]:
 
 
 def pack_encoder_layer(
-    params: dict, n_head: int, dtype: DTypeLike, int8_ffn: bool = False
+    params: dict,
+    n_head: int,
+    dtype: DTypeLike,
+    int8_ffn: bool = False,
+    int8_attn: bool = False,
 ) -> dict[str, Array]:
     """Repack one canonical flax encoder-layer param subtree
     (``models/transformer.py:22-57`` structure) into the kernel layout.
 
     ``int8_ffn=True`` replaces the FFN weights with int8 values plus
-    per-output-row fp32 scales (W8A8 sampling path, ``FDIFF_FUSED_INT8``).
+    per-output-row fp32 scales (W8A8 sampling path, ``FDIFF_FUSED_INT8``);
+    ``int8_attn=True`` additionally quantizes the QKV / out-proj weights
+    (``FDIFF_FUSED_INT8=2``; requires ``int8_ffn``).
     """
     d_model = params["norm1"]["scale"].shape[0]
     dh = d_model // n_head
@@ -349,9 +481,7 @@ def pack_encoder_layer(
     w_out = w_out.reshape(n_head * DH_PAD, d_model).T  # (D, H*DH_PAD)
 
     packed = {
-        "w_qkv": w_qkv.astype(dtype),
         "b_qkv": _col_vec(b_qkv),
-        "w_out": w_out.astype(dtype),
         "b_out": _col_vec(params["self_attn"]["out_proj"]["bias"]),
         "ln1_s": _col_vec(params["norm1"]["scale"]),
         "ln1_b": _col_vec(params["norm1"]["bias"]),
@@ -360,6 +490,12 @@ def pack_encoder_layer(
         "ln2_s": _col_vec(params["norm2"]["scale"]),
         "ln2_b": _col_vec(params["norm2"]["bias"]),
     }
+    if int8_attn:
+        packed["w_qkv_q"], packed["w_qkv_s"] = _quantize_rows(w_qkv)
+        packed["w_out_q"], packed["w_out_s"] = _quantize_rows(w_out)
+    else:
+        packed["w_qkv"] = w_qkv.astype(dtype)
+        packed["w_out"] = w_out.astype(dtype)
     w1 = params["linear1"]["kernel"].T  # (d_ff, D)
     w2 = params["linear2"]["kernel"].T  # (D, d_ff)
     if int8_ffn:
@@ -378,6 +514,12 @@ _LAYER_KEYS = (
 
 _LAYER_KEYS_INT8 = (
     "w_qkv", "b_qkv", "w_out", "b_out", "ln1_s", "ln1_b",
+    "w1_q", "w1_s", "b1", "w2_q", "w2_s", "b2", "ln2_s", "ln2_b",
+)
+
+_LAYER_KEYS_INT8_ATTN = (
+    "w_qkv_q", "w_qkv_s", "b_qkv", "w_out_q", "w_out_s", "b_out",
+    "ln1_s", "ln1_b",
     "w1_q", "w1_s", "b1", "w2_q", "w2_s", "b2", "ln2_s", "ln2_b",
 )
 
@@ -416,8 +558,12 @@ def fused_encoder_layer(
         r = 1
     x_spec = pl.BlockSpec((r, d, lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
-    int8_ffn = "w1_q" in layer
-    keys = _LAYER_KEYS_INT8 if int8_ffn else _LAYER_KEYS
+    if "w_qkv_q" in layer:
+        keys, kernel_fn = _LAYER_KEYS_INT8_ATTN, _encoder_layer_kernel_int8_attn
+    elif "w1_q" in layer:
+        keys, kernel_fn = _LAYER_KEYS_INT8, _encoder_layer_kernel_int8
+    else:
+        keys, kernel_fn = _LAYER_KEYS, _encoder_layer_kernel
     consts = [layer[k] for k in keys]
     c_specs = [
         pl.BlockSpec(
@@ -426,7 +572,7 @@ def fused_encoder_layer(
         for c in consts
     ]
     kernel = functools.partial(
-        _encoder_layer_kernel_int8 if int8_ffn else _encoder_layer_kernel,
+        kernel_fn,
         n_head=n_head,
         l_valid=l_valid,
         fast_softmax=x.dtype == jnp.bfloat16,

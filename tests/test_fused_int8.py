@@ -113,3 +113,34 @@ def test_int8_full_sampling_program(monkeypatch):
     out = np.asarray(make_sample_fn(model, scheduler, fused=True, **kwargs)(variables, key))
     rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert rel < 0.02, rel
+
+
+def test_pack_layer_int8_attn_keys():
+    model, variables, _, _ = _build(19, 1)
+    packed = pack_score_transformer(model, variables, int8_ffn=2)
+    layer = packed["layers"][0]
+    assert "w_qkv_q" in layer and "w_out_q" in layer
+    assert "w_qkv" not in layer and "w1" not in layer
+    assert layer["w_qkv_q"].dtype == jnp.int8
+    assert layer["w_qkv_s"].shape == (layer["w_qkv_q"].shape[0], 1)
+
+
+def test_int8_attn_forward_close_to_canonical():
+    model, variables, x, t = _build(19, 1)
+    ref = np.asarray(model.apply(variables, x, t, deterministic=True))
+    out = np.asarray(
+        fused_score_forward(
+            model, pack_score_transformer(model, variables, int8_ffn=2), x, t
+        )
+    )
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    # Full W8A8 (QKV / PV / out-proj / FFN; S dot bf16): per-(head,
+    # query) softmax scales keep the PV dequant tight (measured ~0.4%).
+    assert rel < 0.05, rel
+
+
+def test_int8_env_level2_selects_attn_kernel(monkeypatch):
+    model, variables, _, _ = _build(19, 1)
+    monkeypatch.setenv("FDIFF_FUSED_INT8", "2")
+    packed = pack_score_transformer(model, variables)
+    assert "w_qkv_q" in packed["layers"][0]
