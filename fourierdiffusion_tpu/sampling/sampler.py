@@ -186,6 +186,7 @@ class DiffusionSampler:
         corrector_steps: int = 1,
         snr: float = 0.16,
         score_clip: Optional[float] = None,
+        fused: Optional[bool] = None,
     ) -> None:
         self.model = model
         self.scheduler = scheduler
@@ -197,6 +198,7 @@ class DiffusionSampler:
         self.corrector_steps = corrector_steps
         self.snr = snr
         self.score_clip = score_clip
+        self.fused = fused
         self._fn_cache: dict[tuple[int, int], object] = {}
 
     def _get_fn(self, num_diffusion_steps: int, batch_size: int):
@@ -214,6 +216,7 @@ class DiffusionSampler:
                 corrector_steps=self.corrector_steps,
                 snr=self.snr,
                 score_clip=self.score_clip,
+                fused=self.fused,
             )
         return self._fn_cache[cache_key]
 

@@ -144,3 +144,28 @@ def test_int8_env_level2_selects_attn_kernel(monkeypatch):
     monkeypatch.setenv("FDIFF_FUSED_INT8", "2")
     packed = pack_score_transformer(model, variables)
     assert "w_qkv_q" in packed["layers"][0]
+
+
+def test_int8_sharded_sampling_on_mesh(monkeypatch):
+    """Int8 fused kernels execute under the 8-device data mesh
+    (interpret-mode Pallas on the virtual CPU mesh)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from fourierdiffusion_tpu.sampling.sampler import DiffusionSampler
+    from fourierdiffusion_tpu.schedulers import VPScheduler
+
+    monkeypatch.setenv("FDIFF_FUSED_INT8", "2")
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices, axis_names=("data",))
+    model, variables, _, _ = _build(16, 2)
+    sampler = DiffusionSampler(
+        model, VPScheduler(fourier_noise_scaling=False),
+        max_len=16, n_channels=2,
+        sample_batch_size=len(devices) * 2, mesh=mesh, fused=True,
+    )
+    out = sampler.sample(
+        variables, jax.random.PRNGKey(0), len(devices) * 2, num_diffusion_steps=3
+    )
+    assert out.shape == (len(devices) * 2, 16, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
