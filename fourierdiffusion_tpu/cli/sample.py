@@ -162,6 +162,9 @@ class SamplingRunner:
 
 
 def main(argv: list[str] | None = None) -> None:
+    from fourierdiffusion_tpu.utils.profiling import setup_compilation_cache
+
+    setup_compilation_cache()
     overrides = list(sys.argv[1:] if argv is None else argv)
     cfg = compose("sample", overrides)
     if cfg.get("model_id") in (None, "???"):

@@ -142,6 +142,7 @@ class TrainingRunner:
             spike_rollback_retries=int(
                 trainer_cfg.get("spike_rollback_retries", 2)
             ),
+            save_last_every_n=int(trainer_cfg.get("save_last_every_n", 1)),
         )
 
     def train(self, resume_from: Path | None = None) -> Any:
@@ -162,6 +163,9 @@ def main(argv: list[str] | None = None) -> None:
     from fourierdiffusion_tpu.parallel.distributed import maybe_initialize_distributed
 
     maybe_initialize_distributed()
+    from fourierdiffusion_tpu.utils.profiling import setup_compilation_cache
+
+    setup_compilation_cache()
     overrides = list(sys.argv[1:] if argv is None else argv)
     # `resume=<run_id>` continues a previous run from its saved full
     # training state (config reloaded from the run dir as-is).

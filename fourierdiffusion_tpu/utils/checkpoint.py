@@ -184,7 +184,8 @@ class BestCheckpointCallback:
             self.best_path = save_checkpoint(
                 self.checkpoints_dir,
                 epoch=epoch,
-                step=int(metrics.get("epoch", epoch)),
+                # optimizer step, NOT the epoch (VERDICT r03 weak #2)
+                step=int(metrics.get("step", epoch)),
                 val_loss=val_loss,
                 params=params,
                 constants=constants,

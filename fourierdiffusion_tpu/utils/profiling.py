@@ -65,6 +65,35 @@ class StepTimer:
         return dt
 
 
+def setup_compilation_cache() -> Optional[Path]:
+    """Enable JAX's persistent compilation cache (VERDICT r03 weak #3).
+
+    Remote TPU compiles are slow (a 1000-step fused sampling program paid
+    251.6 s cold in BENCH_r03 vs 55.8 s warm in r02); caching compiled
+    executables on disk makes every process after the first warm within a
+    boot. The default location is ``<repo>/.jax_cache`` (gitignored) so
+    all CLIs/benches on this machine share one cache; override with
+    ``FDIFF_COMPILE_CACHE_DIR=<dir>`` or disable with ``=0``/``off``.
+
+    Returns the cache dir in use, or None when disabled.
+    """
+    env = os.environ.get("FDIFF_COMPILE_CACHE_DIR", "")
+    if env.lower() in {"0", "off", "none", "disable"}:
+        return None
+    cache_dir = Path(env) if env else Path(__file__).resolve().parents[2] / ".jax_cache"
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        # Cache every program (default only caches >1s compiles) and never
+        # trade cache hits for compile-time autotuning variance.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as exc:  # pragma: no cover - jax version drift
+        logger.warning("Persistent compilation cache unavailable: %s", exc)
+        return None
+    return cache_dir
+
+
 def enable_nan_checks() -> None:
     """Opt-in NaN debugging (SURVEY.md §5 item 2): makes any NaN produced
     under jit raise immediately. Also honored via FDIFF_DEBUG_NANS=1."""
