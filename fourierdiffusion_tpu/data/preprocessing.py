@@ -54,14 +54,18 @@ def _mimic_impute(df):
 
     out = df.loc[:, idx[:, ["mean", "count"]]]
     stay_means = out.loc[:, idx[:, "mean"]].groupby(ID_COLS).mean()
-    out.loc[:, idx[:, "mean"]] = (
-        out.loc[:, idx[:, "mean"]]
-        .groupby(ID_COLS)
-        .ffill()
-        .groupby(ID_COLS)
-        .fillna(stay_means)
-        .fillna(0)
+    # LOCF within each stay, then fill remaining gaps with that stay's
+    # mean (the reference uses the since-removed ``GroupBy.fillna``,
+    # preprocessing.py:39-46; aligning the per-stay means to the hourly
+    # row index reproduces it on pandas >= 2.2).
+    mean_block = out.loc[:, idx[:, "mean"]].groupby(ID_COLS).ffill()
+    stay_aligned = stay_means.reindex(
+        pd.MultiIndex.from_arrays(
+            [mean_block.index.get_level_values(c) for c in ID_COLS]
+        )
     )
+    stay_aligned.index = mean_block.index
+    out.loc[:, idx[:, "mean"]] = mean_block.fillna(stay_aligned).fillna(0)
 
     out.loc[:, idx[:, "count"]] = (df.loc[:, idx[:, "count"]] > 0).astype(float)
     out.rename(columns={"count": "mask"}, level="Aggregation Function", inplace=True)

@@ -54,6 +54,15 @@ def install_reference_stubs() -> None:
                 pass
 
         pl.LightningModule = LightningModule  # type: ignore[attr-defined]
+
+        class LightningDataModule:
+            """Enough of the base class for the reference datamodules
+            (``datamodules.py:68``) to instantiate for golden parity."""
+
+            def __init__(self, *args, **kwargs) -> None:
+                pass
+
+        pl.LightningDataModule = LightningDataModule  # type: ignore[attr-defined]
         utilities = types.ModuleType("pytorch_lightning.utilities")
         types_mod = types.ModuleType("pytorch_lightning.utilities.types")
         types_mod.OptimizerLRScheduler = object  # type: ignore[attr-defined]
