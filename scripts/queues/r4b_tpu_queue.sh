@@ -1,23 +1,19 @@
 #!/bin/bash
-# Round-4 TPU queue. Serializes all real-chip jobs for the round
-# (one chip; CPU is owned by the torch reference retrain + chained
-# ref-sampler corner). Priority order, highest value first so an early
-# round end still lands the big items (VERDICT r03 "Next round" 2/3/6/9):
-#   1. flagship f600 train (fixed ckpt-step code) + 10k x 1000 sampling
-#      with checkpoint=best and =last; orbax ckpts committed (wipe-proof).
-#   2. fast512 f600 train via the productized score_model=fast512 config
-#      + 1k sanity + 10k best/last.
-#   3. LSTM sampling bench (honest backbone perf row).
-#   4. per-chip batch-scaling sweep 256/1024/2048 (512 = headline bench).
-#   5. once the ref e200 retrain writes model.pt: cross-sample it with our
-#      fused sampler at the published 10k x 1000 protocol (retrain
-#      equivalence + ref-trained divergence datapoint), bounded wait.
-#   6. final default bench (also measures fast512 now) — warms the
-#      persistent compile cache (.jax_cache) for the driver's bench.
-# ADVICE r03 fixes: every train/sample logs rc; failed trains emit an
-# explicit SKIPPED line; sampling arms copy only train_config.yaml and
-# symlink checkpoints (no 3x orbax duplication), with rm -rf first so
-# reruns are idempotent.
+# Round-4 TPU queue B (post-wipe continuation). The machine wipe killed
+# queue r4 after the pc K=250 ladder rung; this queue covers the rest,
+# highest value first:
+#   1. fast512 f600 retrain — the 8ddc2534 orbax checkpoints were lost
+#      because qcommit's bash -c arg handling dropped the FIRST pathspec
+#      (the checkpoints dir). Fixed here (msg=$1 + placeholder $0) and the
+#      commit step verifies the checkpoints dir is nonempty first.
+#      Then 1k sanity + 10k best/last protocol sampling.
+#   2. missing sampler-ladder rungs on the flagship f600 (4ffeaa7e):
+#      em K=50, pc K=50/100/1000 (em/ode rows + pc250 landed pre-wipe).
+#   3. LSTM sampling bench (VERDICT r03 item 9).
+#   4. per-chip batch-scaling sweep 256/1024/2048 (item 6).
+#   5. cross-sample the ref e200 retrain at 10k x 1000 once model.pt
+#      lands (bounded wait; the CPU retrain resumed at epoch 166).
+#   6. final default bench (default + fast512; warms .jax_cache).
 # Logs: /tmp/r4q/queue.log (+ per-step logs alongside).
 set -u
 cd /root/repo
@@ -27,8 +23,9 @@ exec >> "$Q/queue.log" 2>&1
 
 step() { echo "=== $(date '+%F %T') $*"; }
 
-# Commit under the shared git lock (the snapshot committer amends HEAD
-# when HEAD is a snapshot commit; serializing avoids index races).
+# Commit under the shared git lock. NOTE the placeholder "_" arg: with
+# bash -c, $0 is the FIRST trailing arg, so without it `shift` eats the
+# first pathspec (this exact bug dropped the fast512 checkpoints).
 qcommit() {
   local msg=$1; shift
   for i in 1 2 3 4 5; do
@@ -50,46 +47,10 @@ mk_arm() {
   ln -s "$(pwd)/runs/$src/checkpoints" "runs/$dst/checkpoints"
 }
 
-train_and_10k() {  # <tag> <train overrides...>
-  local tag=$1; shift
-  step "train $tag f600"
-  fdiff-train "$@" > "$Q/${tag}_train.log" 2>&1
-  local rc=$?
-  step "train $tag rc=$rc"
-  local rid
-  rid=$(grep -oE 'run_id=[a-z0-9]+' "$Q/${tag}_train.log" | tail -1 | cut -d= -f2)
-  if [ -z "$rid" ] || [ ! -d "runs/$rid" ]; then
-    step "SKIPPED ($tag train failed: no run_id)"
-    return 1
-  fi
-  step "$tag run_id=$rid"
-  qcommit "round 4: $tag f600 checkpoint ($rid)" \
-    "runs/$rid/checkpoints" "runs/$rid/train_config.yaml" \
-    "runs/$rid/metrics.jsonl" || true
-  for ckpt in best last; do
-    step "$tag 10k ckpt=$ckpt"
-    mk_arm "$rid" "${rid}_10k_$ckpt"
-    fdiff-sample "model_id=${rid}_10k_$ckpt" num_samples=10000 \
-      "checkpoint=$ckpt" sampler.sample_batch_size=512 \
-      > "$Q/${tag}_10k_$ckpt.log" 2>&1
-    step "$tag 10k ckpt=$ckpt rc=$?"
-    [ -f "runs/${rid}_10k_$ckpt/results.yaml" ] && \
-      qcommit "round 4: $tag 10k $ckpt results ($rid)" \
-        "runs/${rid}_10k_$ckpt/results.yaml" || true
-  done
-  echo "$rid" > "$Q/${tag}_rid"
-}
+step QUEUE4B START
 
-step QUEUE4 START
-
-# ---- 1. flagship f600 + 10k protocol ----
-train_and_10k flagship datamodule=synthetic fourier_transform=true \
-  trainer.max_epochs=600 trainer.ema_decay=0.999 \
-  trainer.save_last_every_n=10 \
-  trainer.callbacks.sampling.enabled=false
-
-# ---- 2. fast512 f600 (productized config) + 1k sanity + 10k ----
-step "train fast512 f600"
+# ---- 1. fast512 f600 retrain + 1k sanity + 10k best/last ----
+step "train fast512 f600 (redo: checkpoints lost to wipe + qcommit bug)"
 fdiff-train datamodule=synthetic fourier_transform=true \
   trainer.max_epochs=600 trainer.ema_decay=0.999 \
   trainer.save_last_every_n=10 score_model=fast512 \
@@ -98,9 +59,11 @@ step "train fast512 rc=$?"
 RID2=$(grep -oE 'run_id=[a-z0-9]+' "$Q/fast512_train.log" | tail -1 | cut -d= -f2)
 if [ -z "${RID2}" ] || [ ! -d "runs/$RID2" ]; then
   step "SKIPPED (fast512 train failed: no run_id)"
+elif [ -z "$(ls -A "runs/$RID2/checkpoints" 2>/dev/null)" ]; then
+  step "SKIPPED (fast512 checkpoints dir empty — NOT committing)"
 else
   step "fast512 run_id=$RID2"
-  qcommit "round 4: fast512 f600 checkpoint ($RID2)" \
+  qcommit "round 4: fast512 f600 checkpoint redo ($RID2)" \
     "runs/$RID2/checkpoints" "runs/$RID2/train_config.yaml" \
     "runs/$RID2/metrics.jsonl" || true
   step "fast512 1k sanity"
@@ -125,6 +88,22 @@ else
   echo "$RID2" > "$Q/fast512_rid"
 fi
 
+# ---- 2. missing ladder rungs (flagship f600 4ffeaa7e, ckpt=best) ----
+RID=4ffeaa7e
+for rung in em:50 pc:50 pc:100 pc:1000; do
+  m=${rung%%:*}; K=${rung##*:}
+  arm="${RID}_${m}${K}"
+  step "ladder $m K=$K"
+  mk_arm "$RID" "$arm"
+  fdiff-sample "model_id=$arm" num_samples=10000 \
+    "num_diffusion_steps=$K" "sampler.method=$m" \
+    sampler.sample_batch_size=512 > "$Q/ladder_${m}${K}.log" 2>&1
+  step "ladder $m K=$K rc=$?"
+  [ -f "runs/$arm/results.yaml" ] && \
+    qcommit "round 4 ladder: $m K=$K 10k results ($RID)" \
+      "runs/$arm/results.yaml" || true
+done
+
 # ---- 3. LSTM sampling bench ----
 step "bench lstm"
 BENCH_MODEL=lstm python bench.py > "$Q/bench_lstm.log" 2>&1
@@ -142,7 +121,7 @@ done
 
 # ---- 5. cross-sample the e200 retrain once model.pt lands ----
 REF=runs_reference/ref-freq42-e200
-DEADLINE=$(( $(date +%s) + 21600 ))   # wait at most 6h
+DEADLINE=$(( $(date +%s) + 18000 ))   # wait at most 5h
 step "waiting for $REF/model.pt"
 while [ ! -f "$REF/model.pt" ] && [ "$(date +%s)" -lt "$DEADLINE" ]; do
   sleep 300
@@ -166,4 +145,4 @@ python bench.py > "$Q/bench_final.log" 2>&1
 step "final bench rc=$?"
 tail -1 "$Q/bench_final.log"
 
-step QUEUE4 DONE
+step QUEUE4B DONE
