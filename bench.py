@@ -210,6 +210,12 @@ def main() -> None:
         pc_sps, _ = _measure_sampling("default", batch, 250, method="pc")
         record["pc250_samples_per_sec"] = round(pc_sps, 2)
         record["pc250_vs_baseline"] = round(pc_sps / per_chip_target, 3)
+        if os.environ.get("BENCH_RECOMMENDED", "1") == "1":
+            # Composite operating point: recommended shape × quality-
+            # matched sampler (fast512 + pc-250).
+            cps, _ = _measure_sampling("fast512", batch, 250, method="pc")
+            record["fast512_pc250_samples_per_sec"] = round(cps, 2)
+            record["fast512_pc250_vs_baseline"] = round(cps / per_chip_target, 3)
     print(json.dumps(record))
 
 
