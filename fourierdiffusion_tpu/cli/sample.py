@@ -110,6 +110,12 @@ class SamplingRunner:
                 if s_cfg.get("score_clip") not in (None, "null")
                 else None
             ),
+            divergence_threshold=(
+                float(s_cfg["divergence_threshold"])
+                if s_cfg.get("divergence_threshold") not in (None, "null")
+                else None
+            ),
+            max_resample_retries=int(s_cfg.get("max_resample_retries", 2)),
         )
 
         seed = int(cfg.get("random_seed", 42))
@@ -152,6 +158,9 @@ class SamplingRunner:
             x = idft(x)
 
         results = self.metrics(x)
+        if self.sampler.divergence_threshold is not None:
+            for k, v in self.sampler.last_resample_stats.items():
+                results[f"divergence_guard_{k}"] = v
         printable = {k: v for k, v in results.items() if not isinstance(v, list)}
         logger.info("Metrics:\n%s", dict_to_str(printable))
 

@@ -187,6 +187,8 @@ class DiffusionSampler:
         snr: float = 0.16,
         score_clip: Optional[float] = None,
         fused: Optional[bool] = None,
+        divergence_threshold: Optional[float] = None,
+        max_resample_retries: int = 2,
     ) -> None:
         self.model = model
         self.scheduler = scheduler
@@ -199,6 +201,16 @@ class DiffusionSampler:
         self.snr = snr
         self.score_clip = score_clip
         self.fused = fused
+        self.divergence_threshold = divergence_threshold
+        self.max_resample_retries = max_resample_retries
+        #: Per-``sample()``-call guard accounting: ``resampled_chains``
+        #: counts redraw slots used (a chain retried twice counts twice),
+        #: ``unresolved_chains`` counts chains still past the threshold
+        #: after all retries (kept as-is, never silently dropped).
+        self.last_resample_stats: dict[str, int] = {
+            "resampled_chains": 0,
+            "unresolved_chains": 0,
+        }
         self._fn_cache: dict[tuple[int, int], object] = {}
 
     def _get_fn(self, num_diffusion_steps: int, batch_size: int):
@@ -231,9 +243,10 @@ class DiffusionSampler:
         batch = min(self.sample_batch_size, num_samples)
         fn = self._get_fn(num_diffusion_steps, batch)
         num_batches = -(-num_samples // batch)
-        outs = []
-        for i in range(num_batches):
-            out = fn(variables, jax.random.fold_in(key, i))
+        self.last_resample_stats = {"resampled_chains": 0, "unresolved_chains": 0}
+
+        def draw(k: Array) -> Array:
+            out = fn(variables, k)
             if jax.process_count() > 1:
                 # Multi-controller: batches come back sharded across
                 # processes; gather so downstream host-side metrics see
@@ -241,6 +254,50 @@ class DiffusionSampler:
                 from fourierdiffusion_tpu.parallel.distributed import gather_to_host
 
                 out = jnp.asarray(gather_to_host(out))
+            return out
+
+        outs = []
+        for i in range(num_batches):
+            bkey = jax.random.fold_in(key, i)
+            out = draw(bkey)
+            if self.divergence_threshold is not None:
+                out = self._resample_divergent(draw, out, bkey)
             outs.append(out)
         x = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
         return x[:num_samples]
+
+    def _resample_divergent(self, draw: Callable, out: Array, bkey: Array) -> Array:
+        """Redraw chains whose |x| exceeds ``divergence_threshold``.
+
+        Documented deviation (guard, off by default = reference behavior):
+        under-trained models near the 200-epoch knife edge send a small
+        fraction of reverse chains (~1 %, RESULTS.md seed study) to
+        |x| ≈ 10–30 on standardized data whose true absmax is ~2 — an
+        integration failure, not a data mode. Each retry redraws the FULL
+        batch program with a fresh key and splices the redraw's rows into
+        the flagged slots; chains are i.i.d. across the batch, so the
+        result is an unbiased draw conditioned on non-divergence. Chains
+        still flagged after ``max_resample_retries`` are kept and counted
+        in ``last_resample_stats['unresolved_chains']``.
+        """
+        import numpy as np
+
+        thr = float(self.divergence_threshold)  # type: ignore[arg-type]
+        x = np.asarray(out).copy()
+        flagged = np.abs(x).reshape(x.shape[0], -1).max(axis=1) > thr
+        retries = 0
+        while bool(flagged.any()) and retries < self.max_resample_retries:
+            retries += 1
+            redraw = np.asarray(draw(jax.random.fold_in(bkey, 1_000_000 + retries)))
+            x[flagged] = redraw[flagged]
+            self.last_resample_stats["resampled_chains"] += int(flagged.sum())
+            flagged = np.abs(x).reshape(x.shape[0], -1).max(axis=1) > thr
+        if bool(flagged.any()):
+            logger.warning(
+                "divergence guard: %d chains still past |x|>%g after %d retries",
+                int(flagged.sum()),
+                thr,
+                retries,
+            )
+            self.last_resample_stats["unresolved_chains"] += int(flagged.sum())
+        return jnp.asarray(x)
