@@ -55,6 +55,13 @@ def main() -> None:
     ap.add_argument("--num-diffusion-steps", type=int, default=250)
     ap.add_argument("--sample-batch-size", type=int, default=500)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--save-samples",
+        action="store_true",
+        help="also write the post-processed samples to "
+        "<run>/samples_cross_our_sampler.npy (enables "
+        "divergence_decomposition.py-style tail analysis on this corner)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -103,6 +110,17 @@ def main() -> None:
     x = np.asarray(x) * np.asarray(std) + np.asarray(mean)
     if args.fourier:
         x = np.asarray(idft(x))
+
+    # Divergent-chain census, same convention as divergence_decomposition.py
+    # (final time-domain samples; data absmax ~2, threshold 8).
+    absmax = np.abs(x).max(axis=tuple(range(1, x.ndim)))
+    n_div = int((absmax > 8.0).sum())
+    print(
+        f"divergent chains (absmax>8): {n_div}/{x.shape[0]} "
+        f"(max {absmax.max():.1f}, p99.9 {np.quantile(absmax, 0.999):.1f})"
+    )
+    if args.save_samples:
+        np.save(args.run / "samples_cross_our_sampler.npy", x)
 
     metrics = MetricCollection(
         metric_factories=[
