@@ -35,7 +35,7 @@ step "cross-sample ref e200 retrain 10k x 1000 (divergence census)"
 python -u scripts/cross_sample_reference_weights.py \
   --run runs_reference/ref-freq42-e200 --fourier \
   --num-samples 10000 --num-diffusion-steps 1000 \
-  --sample-batch-size 500 --save-samples > "$Q/cross_ref_e200_census.log" 2>&1
+  --sample-batch-size 512 --save-samples > "$Q/cross_ref_e200_census.log" 2>&1
 step "cross-sample census rc=$?"
 grep -h "divergent chains" "$Q/cross_ref_e200_census.log" || true
 if [ -f runs_reference/ref-freq42-e200/samples_cross_our_sampler.npy ]; then
