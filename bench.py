@@ -216,6 +216,14 @@ def main() -> None:
             cps, _ = _measure_sampling("fast512", batch, 250, method="pc")
             record["fast512_pc250_samples_per_sec"] = round(cps, 2)
             record["fast512_pc250_vs_baseline"] = round(cps / per_chip_target, 3)
+            # Fastest all-metrics-beat-reference point measured (110.4/s,
+            # RESULTS.md "Composite operating points"): heads6_512 trades
+            # only the time-marginal metric vs fast512.
+            hps, _ = _measure_sampling("heads6_512", batch, 250, method="pc")
+            record["heads6_512_pc250_samples_per_sec"] = round(hps, 2)
+            record["heads6_512_pc250_vs_baseline"] = round(
+                hps / per_chip_target, 3
+            )
     print(json.dumps(record))
 
 
