@@ -47,7 +47,7 @@ step QUEUE4K START
 
 for SEED in 45 46 47 48; do
   step "e200 UNFUSED seed $SEED train (no-EMA)"
-  FDIFF_FUSED_TRAIN=0 fdiff-train datamodule=synthetic fourier_transform=true \
+  FDIFF_FUSED_TRAIN=0 nice -n 19 fdiff-train datamodule=synthetic fourier_transform=true \
     trainer.max_epochs=200 trainer.ema_decay=0 "random_seed=$SEED" \
     trainer.save_last_every_n=10 \
     trainer.callbacks.sampling.enabled=false > "$Q/e200_s${SEED}u_train.log" 2>&1
@@ -61,11 +61,11 @@ for SEED in 45 46 47 48; do
 
   step "unfused seed $SEED 10k x 1000 guard-off census"
   mk_arm "$RID" "${RID}_10k_off"
-  fdiff-sample "model_id=${RID}_10k_off" num_samples=10000 \
+  nice -n 19 fdiff-sample "model_id=${RID}_10k_off" num_samples=10000 \
     sampler.sample_batch_size=512 > "$Q/e200_s${SEED}u_10k_off.log" 2>&1
   step "unfused seed $SEED census rc=$?"
   if [ -f "runs/${RID}_10k_off/results.yaml" ]; then
-    python scripts/divergence_decomposition.py "${RID}_10k_off" \
+    nice -n 19 python scripts/divergence_decomposition.py "${RID}_10k_off" \
       > "$Q/decomp_s${SEED}u.log" 2>&1
     grep -h "divergent\|bulk\|all " "$Q/decomp_s${SEED}u.log" || true
     qcommit "round 4: e200 unfused seed $SEED divergence-rate census ($RID)" \
