@@ -33,12 +33,19 @@ step "train flagship f600 refresh"
 fdiff-train datamodule=synthetic fourier_transform=true trainer.max_epochs=600 \
   trainer.ema_decay=0.999 \
   trainer.callbacks.sampling.enabled=false > "$Q/flagship_train.log" 2>&1
+step "flagship train rc=$?"
 RID=$(grep -oE 'run_id=[a-z0-9]+' "$Q/flagship_train.log" | tail -1 | cut -d= -f2)
 step "flagship refresh run_id=$RID"
+if [ -z "$RID" ] || [ ! -d "runs/$RID" ]; then
+  step "SKIPPED flagship 10k arms (train failed: no run_id/dir)"
+fi
 if [ -n "$RID" ] && [ -d "runs/$RID" ]; then
   for ckpt in best last; do
     step "flagship 10k ckpt=$ckpt"
-    cp -r "runs/$RID" "runs/${RID}_10k_$ckpt"
+    rm -rf "runs/${RID}_10k_$ckpt"
+    mkdir -p "runs/${RID}_10k_$ckpt"
+    cp "runs/$RID/train_config.yaml" "runs/${RID}_10k_$ckpt/"
+    ln -s "$(pwd)/runs/$RID/checkpoints" "runs/${RID}_10k_$ckpt/checkpoints"
     fdiff-sample "model_id=${RID}_10k_$ckpt" num_samples=10000 \
       "checkpoint=$ckpt" sampler.sample_batch_size=512 \
       > "$Q/flagship_10k_$ckpt.log" 2>&1
@@ -51,8 +58,12 @@ step "train fast512 f600 re-create"
 fdiff-train datamodule=synthetic fourier_transform=true trainer.max_epochs=600 \
   trainer.ema_decay=0.999 score_model=fast score_model.dim_feedforward=512 \
   trainer.callbacks.sampling.enabled=false > "$Q/fast512_train.log" 2>&1
+step "fast512 train rc=$?"
 RID2=$(grep -oE 'run_id=[a-z0-9]+' "$Q/fast512_train.log" | tail -1 | cut -d= -f2)
 step "fast512 recreate run_id=$RID2"
+if [ -z "$RID2" ] || [ ! -d "runs/$RID2" ]; then
+  step "SKIPPED fast512 arms (train failed: no run_id/dir)"
+fi
 if [ -n "$RID2" ] && [ -d "runs/$RID2" ]; then
   step "fast512 1k sanity"
   fdiff-sample "model_id=$RID2" num_samples=1000 \
@@ -60,7 +71,10 @@ if [ -n "$RID2" ] && [ -d "runs/$RID2" ]; then
   step "fast512 1k rc=$?"
   for ckpt in best last; do
     step "fast512 10k ckpt=$ckpt"
-    cp -r "runs/$RID2" "runs/${RID2}_10k_$ckpt"
+    rm -rf "runs/${RID}_10k_$ckpt"
+    mkdir -p "runs/${RID}_10k_$ckpt"
+    cp "runs/$RID2/train_config.yaml" "runs/${RID}_10k_$ckpt/"
+    ln -s "$(pwd)/runs/$RID2/checkpoints" "runs/${RID}_10k_$ckpt/checkpoints"
     fdiff-sample "model_id=${RID2}_10k_$ckpt" num_samples=10000 \
       "checkpoint=$ckpt" sampler.sample_batch_size=512 \
       > "$Q/fast512_10k_$ckpt.log" 2>&1
