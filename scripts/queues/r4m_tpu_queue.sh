@@ -45,7 +45,8 @@ mk_arm() {
 
 step QUEUE4M START
 
-for SEED in 49 50 51 52; do
+# Seed 49 (both arms) completed + committed before wipe #5; resume at 50.
+for SEED in 50 51 52; do
   for ARM in fused unfused; do
     FUSED=1; [ "$ARM" = unfused ] && FUSED=0
     step "e200 $ARM seed $SEED train (no-EMA)"
