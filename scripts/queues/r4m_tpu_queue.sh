@@ -21,6 +21,10 @@ echo $$ > /tmp/r4m.pid
 
 exec >> "$Q/queue.log" 2>&1
 
+# Wipes drop the editable install (fdiff-train rc=127); self-heal.
+command -v fdiff-train >/dev/null 2>&1 || \
+  pip install -e . --no-deps --no-build-isolation -q
+
 step() { echo "=== $(date '+%F %T') $*"; }
 
 qcommit() {
