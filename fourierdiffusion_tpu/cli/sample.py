@@ -158,6 +158,17 @@ class SamplingRunner:
             x = idft(x)
 
         results = self.metrics(x)
+        # Always record the divergent-chain census (time-domain absmax
+        # above the knife-edge threshold, RESULTS.md "Divergence rate")
+        # so the count survives in results.yaml even when samples.npy /
+        # decomposition logs are lost — wipe #5 cost exactly this for
+        # the seed-49 runs. Threshold matches
+        # scripts/divergence_decomposition.py's default.
+        census_thr = 8.0
+        absmax = np.max(np.abs(np.asarray(x)), axis=tuple(range(1, x.ndim)))
+        results["divergence_census_threshold"] = census_thr
+        results["divergence_census_count"] = int((absmax > census_thr).sum())
+        results["divergence_census_max_absmax"] = float(absmax.max())
         if self.sampler.divergence_threshold is not None:
             for k, v in self.sampler.last_resample_stats.items():
                 results[f"divergence_guard_{k}"] = v

@@ -59,6 +59,9 @@ def test_train_then_sample(tmp_path, monkeypatch, fourier) -> None:
     assert "freq_marginal_wasserstein_mean" in results
     assert "spectral_marginal_wasserstein_mean" in results
     assert "time_sliced_wasserstein_mean_self" in results  # baselines on
+    # Divergence census is always recorded (wipe-proof knife-edge audit)
+    assert results["divergence_census_count"] >= 0
+    assert results["divergence_census_max_absmax"] > 0
 
     samples = np.load(run_dir / run_id / "samples.npy")
     assert samples.shape == (24, 20, 3)
