@@ -136,6 +136,12 @@ def main() -> None:
         include_spectral_density=True,
     )
     results = metrics(x)
+    # Persist the census in the committed yaml (wipe #5 destroyed the
+    # seed-49 counts that lived only in /tmp logs; same convention as
+    # cli/sample.py's divergence_census_* fields).
+    results["divergence_census_threshold"] = 8.0
+    results["divergence_census_count"] = n_div
+    results["divergence_census_max_absmax"] = float(absmax.max())
     out = args.run / "results_cross_our_sampler.yaml"
     with open(out, "w") as f:
         yaml.safe_dump(results, f)
