@@ -143,6 +143,13 @@ class TrainingRunner:
                 trainer_cfg.get("spike_rollback_retries", 2)
             ),
             save_last_every_n=int(trainer_cfg.get("save_last_every_n", 1)),
+            val_noise_draws=int(trainer_cfg.get("val_noise_draws", 4)),
+            init_seed=(
+                int(trainer_cfg["init_seed"])
+                if trainer_cfg.get("init_seed") is not None
+                else None
+            ),
+            perm_salt=int(trainer_cfg.get("perm_salt", 0)),
         )
 
     def train(self, resume_from: Path | None = None) -> Any:

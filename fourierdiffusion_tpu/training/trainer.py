@@ -104,6 +104,9 @@ class Trainer:
         spike_rollback_factor: float = 2.5,
         spike_rollback_retries: int = 2,
         save_last_every_n: int = 1,
+        val_noise_draws: int = 4,
+        init_seed: Optional[int] = None,
+        perm_salt: int = 0,
     ) -> None:
         self.model = model
         self.scheduler = scheduler
@@ -139,6 +142,23 @@ class Trainer:
         # 0 disables.
         self.spike_rollback_factor = float(spike_rollback_factor)
         self.spike_rollback_retries = int(spike_rollback_retries)
+        # Validation (t, z) noise is a FIXED set of draws reused at every
+        # epoch (averaged over this many independent draws), so the
+        # per-epoch val loss is comparable across epochs and
+        # ``argmin val_loss`` selects weights, not a lucky noise draw.
+        # The old estimator redrew noise per epoch from a key shared by
+        # every run with the same seed — late-training noise (sigma ~7%
+        # of the tail mean on the flagship) exceeded real epoch-to-epoch
+        # differences, and all three committed 600-epoch runs "selected"
+        # the same epoch 488 because the shared draw was easiest there.
+        self.val_noise_draws = max(1, int(val_noise_draws))
+        # Knife-edge mechanism probes (RESULTS.md "Divergence rate"):
+        # ``init_seed`` swaps ONLY the parameter init (data, data order,
+        # dropout/noise streams stay on ``seed``); ``perm_salt`` shuffles
+        # ONLY the epoch data order (init, dropout/noise unchanged).
+        # Defaults leave every committed run's trajectory bit-identical.
+        self.init_seed = init_seed
+        self.perm_salt = int(perm_salt)
         self.num_training_steps: int = 0
         self.state: Optional[TrainStateBundle] = None
 
@@ -321,6 +341,8 @@ class Trainer:
 
         key = jax.random.PRNGKey(self.seed)
         init_key, fit_key = jax.random.split(key)
+        if self.init_seed is not None:
+            init_key, _ = jax.random.split(jax.random.PRNGKey(self.init_seed))
 
         if init_variables is None:
             dummy_t = jnp.zeros((1,), x_train.dtype)
@@ -371,6 +393,13 @@ class Trainer:
         n_val = x_val.shape[0]
         val_perm = jnp.arange(-(-n_val // datamodule.batch_size) * datamodule.batch_size) % n_val
         val_perm = val_perm.reshape(-1, datamodule.batch_size)
+        # Fixed validation noise: one epoch-independent key, split into
+        # ``val_noise_draws`` draws that every epoch reuses (see
+        # ``__init__``). The salt only has to differ from the epoch
+        # integers folded into ``fit_key`` below.
+        val_keys = jax.random.split(
+            jax.random.fold_in(fit_key, 0x76616C), self.val_noise_draws
+        )
 
         history = []
         # Spike-rollback guard state: a 2-deep ring of on-device state
@@ -390,7 +419,13 @@ class Trainer:
             ekey = jax.random.fold_in(fit_key, epoch)
             if stream_salt:
                 ekey = jax.random.fold_in(ekey, stream_salt)
-            perm_key, scan_key, val_key = jax.random.split(ekey, 3)
+            # The 3-way split predates the fixed-noise val estimator; the
+            # third key is unused but kept so perm/scan streams (and
+            # therefore every committed run's training trajectory) stay
+            # bit-identical.
+            perm_key, scan_key, _legacy_val_key = jax.random.split(ekey, 3)
+            if self.perm_salt:
+                perm_key = jax.random.fold_in(perm_key, self.perm_salt)
             perm = self._epoch_permutation(perm_key, n, datamodule.batch_size)
             if guard_on:
                 snapshots.append(
@@ -398,7 +433,9 @@ class Trainer:
                 )
             t0 = time.perf_counter()
             state, train_loss = train_epoch(state, x_train, perm, scan_key)
-            val_loss = eval_epoch(state, x_val, val_perm, val_key)
+            val_loss = jnp.mean(
+                jnp.stack([eval_epoch(state, x_val, val_perm, vk) for vk in val_keys])
+            )
             train_loss = float(train_loss)
             val_loss = float(val_loss)
             if (

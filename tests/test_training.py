@@ -302,6 +302,81 @@ def test_spike_rollback_guard(monkeypatch) -> None:
     assert trainer.history[-1].get("stream_salt") == 1
 
 
+def test_val_noise_is_fixed_across_epochs() -> None:
+    """VERDICT r04 weak #1 regression: validation must reuse the SAME
+    (t, z) noise draws at every epoch so ``argmin val_loss`` compares
+    weights, not per-epoch noise luck (the old estimator redrew noise
+    from ``fold_in(fit_key, epoch)`` and all three committed 600-epoch
+    runs — three architectures — picked the same "best" epoch 488).
+
+    Black-box check: with lr_max=0 the weights never change, so the
+    recorded val loss must be bit-constant across epochs. Under the old
+    estimator it varied epoch to epoch."""
+    dm = _datamodule(standardize=True)
+    trainer = Trainer(_tiny_model("mlp"), VPScheduler(), max_epochs=4, lr_max=0.0)
+    trainer.fit(dm)
+    vals = [h["val/loss"] for h in trainer.history]
+    assert len(set(vals)) == 1, f"val noise varies across epochs: {vals}"
+
+
+def test_val_noise_keys_epoch_independent(monkeypatch) -> None:
+    """White-box companion: eval_epoch receives exactly
+    ``val_noise_draws`` keys per epoch and the key set is identical at
+    every epoch (and disjoint from the per-epoch train keys)."""
+    dm = _datamodule(standardize=True)
+    trainer = Trainer(
+        _tiny_model("mlp"), VPScheduler(), max_epochs=3, lr_max=1e-3,
+        val_noise_draws=2,
+    )
+    seen: list[tuple] = []
+    real_make = trainer._make_epoch_fns
+
+    def fake_make(optimizer):
+        train_epoch, eval_epoch = real_make(optimizer)
+
+        def wrapped_eval(state, x_all, perm, key):
+            seen.append(tuple(np.asarray(key).tolist()))
+            return eval_epoch(state, x_all, perm, key)
+
+        return train_epoch, wrapped_eval
+
+    monkeypatch.setattr(trainer, "_make_epoch_fns", fake_make)
+    trainer.fit(dm)
+    assert len(seen) == 3 * 2
+    per_epoch = [seen[i : i + 2] for i in range(0, len(seen), 2)]
+    assert per_epoch[0] == per_epoch[1] == per_epoch[2], per_epoch
+    assert per_epoch[0][0] != per_epoch[0][1]  # K independent draws
+
+
+def test_probe_knobs_isolate_init_and_data_order() -> None:
+    """Knife-edge mechanism probes: ``init_seed`` must swap ONLY the
+    parameter init, ``perm_salt`` ONLY the epoch data order. With
+    lr_max=0 the final params equal the init, making both effects
+    directly observable."""
+
+    def fit(**kw):
+        tr = Trainer(
+            _tiny_model("mlp"), VPScheduler(), max_epochs=1, lr_max=0.0, **kw
+        )
+        state = tr.fit(_datamodule(standardize=True))
+        params = np.concatenate(
+            [np.asarray(p).ravel() for p in jax.tree_util.tree_leaves(state.params)]
+        )
+        return params, tr.history[0]["train/loss"]
+
+    base_p, base_l = fit()
+    again_p, again_l = fit()
+    np.testing.assert_array_equal(base_p, again_p)  # determinism
+    assert base_l == again_l
+
+    init_p, _ = fit(init_seed=7)
+    assert not np.array_equal(base_p, init_p)  # init swapped
+
+    perm_p, perm_l = fit(perm_salt=1)
+    np.testing.assert_array_equal(base_p, perm_p)  # init untouched
+    assert perm_l != base_l  # (batch, noise) pairing reshuffled
+
+
 def test_no_rollback_on_normal_run() -> None:
     dm = _datamodule(standardize=True)
     model = _tiny_model("mlp")
