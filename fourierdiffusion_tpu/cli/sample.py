@@ -71,7 +71,7 @@ class SamplingRunner:
         # the final epoch instead — at the full 10k-sample protocol the
         # last checkpoint measures materially better than best-val
         # (RESULTS.md "EMA 10k tail divergence: resolved").
-        which = str(cfg.get("checkpoint", "best"))
+        which = self.checkpoint_kind = str(cfg.get("checkpoint", "best"))
         if which == "last":
             from fourierdiffusion_tpu.utils.checkpoint import load_last_checkpoint
 
@@ -119,6 +119,7 @@ class SamplingRunner:
         )
 
         seed = int(cfg.get("random_seed", 42))
+        self.train_seed = int(train_cfg.get("random_seed", 42))
         m_cfg = cfg["metrics"]
         self.metrics = MetricCollection(
             metric_factories=[
@@ -162,16 +163,40 @@ class SamplingRunner:
         # above the knife-edge threshold, RESULTS.md "Divergence rate")
         # so the count survives in results.yaml even when samples.npy /
         # decomposition logs are lost — wipe #5 cost exactly this for
-        # the seed-49 runs. Threshold matches
-        # scripts/divergence_decomposition.py's default.
-        census_thr = 8.0
-        absmax = np.max(np.abs(np.asarray(x)), axis=tuple(range(1, x.ndim)))
-        results["divergence_census_threshold"] = census_thr
-        results["divergence_census_count"] = int((absmax > census_thr).sum())
-        results["divergence_census_max_absmax"] = float(absmax.max())
-        if self.sampler.divergence_threshold is not None:
+        # the seed-49 runs. Provenance fields (protocol, guard state,
+        # seeds, optional FDIFF_CENSUS_ARM tag) let the rate-statistics
+        # scanner pool runs without directory-name conventions.
+        import os
+
+        from fourierdiffusion_tpu.utils.census import census_fields
+
+        guard_active = self.sampler.divergence_threshold is not None
+        results.update(
+            census_fields(
+                np.asarray(x),
+                guard_active=guard_active,
+                num_samples=self.num_samples,
+                num_diffusion_steps=self.num_diffusion_steps,
+                method=self.sampler.method,
+                sampling_seed=self.random_seed,
+                train_seed=self.train_seed,
+                checkpoint=self.checkpoint_kind,
+                arm=os.environ.get("FDIFF_CENSUS_ARM"),
+            )
+        )
+        if guard_active:
             for k, v in self.sampler.last_resample_stats.items():
                 results[f"divergence_guard_{k}"] = v
+        elif results["divergence_census_count"] > 0:
+            logger.warning(
+                "%d chain(s) diverged (absmax > %.1f). The shipped "
+                "mitigation re-draws them in place: re-run with "
+                "sampler.divergence_threshold=8 "
+                "sampler.max_resample_retries=3 (see RESULTS.md "
+                "'Divergence guard').",
+                results["divergence_census_count"],
+                results["divergence_census_threshold"],
+            )
         printable = {k: v for k, v in results.items() if not isinstance(v, list)}
         logger.info("Metrics:\n%s", dict_to_str(printable))
 

@@ -111,12 +111,19 @@ def main() -> None:
     if args.fourier:
         x = np.asarray(idft(x))
 
-    # Divergent-chain census, same convention as divergence_decomposition.py
-    # (final time-domain samples; data absmax ~2, threshold 8).
+    # Divergent-chain census, shared definition with cli/sample.py and
+    # the decomposition/stats tooling (final time-domain samples; data
+    # absmax ~2).
+    from fourierdiffusion_tpu.utils.census import (
+        DIVERGENCE_CENSUS_THRESHOLD,
+        census_fields,
+    )
+
     absmax = np.abs(x).max(axis=tuple(range(1, x.ndim)))
-    n_div = int((absmax > 8.0).sum())
+    n_div = int((absmax > DIVERGENCE_CENSUS_THRESHOLD).sum())
     print(
-        f"divergent chains (absmax>8): {n_div}/{x.shape[0]} "
+        f"divergent chains (absmax>{DIVERGENCE_CENSUS_THRESHOLD:g}): "
+        f"{n_div}/{x.shape[0]} "
         f"(max {absmax.max():.1f}, p99.9 {np.quantile(absmax, 0.999):.1f})"
     )
     if args.save_samples:
@@ -137,11 +144,20 @@ def main() -> None:
     )
     results = metrics(x)
     # Persist the census in the committed yaml (wipe #5 destroyed the
-    # seed-49 counts that lived only in /tmp logs; same convention as
-    # cli/sample.py's divergence_census_* fields).
-    results["divergence_census_threshold"] = 8.0
-    results["divergence_census_count"] = n_div
-    results["divergence_census_max_absmax"] = float(absmax.max())
+    # seed-49 counts that lived only in /tmp logs; same fields as
+    # cli/sample.py, arm tagged "reference" for the rate scanner).
+    results.update(
+        census_fields(
+            x,
+            guard_active=False,
+            num_samples=args.num_samples,
+            num_diffusion_steps=args.num_diffusion_steps,
+            method="em",
+            sampling_seed=args.seed,
+            train_seed=args.seed,
+            arm="reference",
+        )
+    )
     out = args.run / "results_cross_our_sampler.yaml"
     with open(out, "w") as f:
         yaml.safe_dump(results, f)

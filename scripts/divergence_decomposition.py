@@ -26,6 +26,7 @@ from pathlib import Path
 
 import numpy as np
 
+from fourierdiffusion_tpu.utils.census import DIVERGENCE_CENSUS_THRESHOLD
 from fourierdiffusion_tpu.sampling.metrics import (
     MarginalWasserstein,
     MetricCollection,
@@ -83,7 +84,8 @@ def decompose(run_dir: Path, threshold: float, num_directions: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("run_ids", nargs="+")
-    ap.add_argument("--threshold", type=float, default=8.0)
+    ap.add_argument("--threshold", type=float,
+                    default=DIVERGENCE_CENSUS_THRESHOLD)
     ap.add_argument("--model-path", type=Path, default=Path("runs"))
     ap.add_argument("--num-directions", type=int, default=1000)
     args = ap.parse_args()

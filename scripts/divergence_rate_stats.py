@@ -43,7 +43,8 @@ from scipy.stats import beta
 
 # Per-run divergent-chain counts at the published protocol
 # (10k samples x 1000 EM steps, guard off, threshold absmax>8).
-# Provenance: RESULTS.md seed-study table + queue M/N commits.
+# Provenance: RESULTS.md seed-study table + queue J/K/M/N commits
+# (each count's run dir is named in its commit message).
 OURS = {
     "fused_s42": 89,
     "fused_s43": 0,
@@ -52,6 +53,10 @@ OURS = {
     "fused_s46": 0,
     "fused_s47": 4,
     "fused_s48": 59,
+    "fused_s49": 0,
+    "fused_s50": 0,
+    "fused_s51": 0,
+    "fused_s52": 1,
     "unfused_s42": 2,
     "unfused_s43": 0,
     "unfused_s44": 19,
@@ -59,15 +64,47 @@ OURS = {
     "unfused_s46": 0,
     "unfused_s47": 2,
     "unfused_s48": 92,
+    "unfused_s49": 0,
+    "unfused_s50": 0,
+    "unfused_s51": 0,
+    "unfused_s52": 1,
 }
 REF = {
-    "ref_s42": 0,  # runs_reference/ref-freq42-e200 cross-sample census
+    "ref_s42": 0,   # runs_reference/ref-freq42-e200 cross-sample census
+    "ref_s43": 31,  # runs_reference/ref-freq43-e200 cross-sample census
 }
 CHAINS_PER_RUN = 10_000
 
+# Committed census dirs predating the provenance fields, mapped to
+# their registry identity (from the queue commit messages) so a scan
+# never double-counts them against the registry rows above.
+LEGACY_DIRS = {
+    "3bec787d_10k_off": "fused_s49",
+    "b2cb191b_10k_off": "unfused_s49",
+    "9834397e_10k_off": "fused_s50",
+    "5055c848_10k_off": "unfused_s50",
+    "001b4ff5_10k_off": "fused_s51",
+    "24f308de_10k_off": "unfused_s51",
+    "cc29f244_10k_off": "fused_s52",
+    "82f96748_10k_off": "unfused_s52",
+}
+PROTOCOL = {"num_samples": 10_000, "num_diffusion_steps": 1_000, "method": "em"}
+# Arms admitted into the e200 seed-study table; anything else (f600
+# flagship censuses, probe arms, ...) is reported and skipped.
+STUDY_ARMS = {"fused", "unfused", "reference"}
+
 
 def scan(root: Path, into: dict[str, int], suffix: str) -> None:
+    """Pool census counts by PROVENANCE, not directory name.
+
+    Runs written since the provenance fields exist are admitted only
+    when they match the published protocol with the guard off, and are
+    keyed by (arm, train seed) so bit-identical recreates of a registry
+    seed dedup instead of double-counting (ADVICE r04, medium). Older
+    runs are admitted only through the explicit LEGACY_DIRS map.
+    """
     for res in sorted(root.glob(f"*/{suffix}")):
+        name = res.parent.name
         try:
             payload = yaml.safe_load(res.read_text())
         except Exception:
@@ -77,7 +114,33 @@ def scan(root: Path, into: dict[str, int], suffix: str) -> None:
         count = payload.get("divergence_census_count")
         if count is None:
             continue
-        into[res.parent.name] = int(count)
+        proto = payload.get("divergence_census_protocol")
+        if proto is None:  # legacy run: identity known only via git log
+            if name in LEGACY_DIRS:
+                into.setdefault(LEGACY_DIRS[name], int(count))
+            elif name.endswith("_10k_off"):
+                print(f"  [scan] skipping {name}: census without provenance "
+                      f"and not in LEGACY_DIRS (identity unknown)")
+            continue
+        if payload.get("divergence_census_guard_active"):
+            continue  # post-guard residual, not a raw knife-edge census
+        if any(proto.get(k) != v for k, v in PROTOCOL.items()):
+            continue  # different protocol (pc/ode, short ladder, ...)
+        arm = proto.get("arm")
+        seed = proto.get("train_seed")
+        if arm is None or seed is None:
+            print(f"  [scan] skipping {name}: protocol matches but no "
+                  f"arm/train_seed tag (set FDIFF_CENSUS_ARM when censusing)")
+            continue
+        if arm not in STUDY_ARMS:
+            # A census at the study protocol but from a different
+            # training budget/shape (e.g. a 600-epoch flagship run
+            # tagged "flagship_f600") must not enter the e200 table.
+            print(f"  [scan] skipping {name}: arm {arm!r} is not part of "
+                  f"the e200 seed study ({sorted(STUDY_ARMS)})")
+            continue
+        key = f"ref_s{seed}" if arm == "reference" else f"{arm}_s{seed}"
+        into.setdefault(key, int(count))
 
 
 def permutation_p(ours: list[int], ref: list[int]) -> tuple[float, int]:
@@ -102,13 +165,11 @@ def main() -> None:
 
     ours, ref = dict(OURS), dict(REF)
     if args.scan:
-        # Our census runs are the *_10k_off arms (guard-off protocol).
-        scanned: dict[str, int] = {}
-        scan(Path("runs"), scanned, "results.yaml")
-        for name, count in scanned.items():
-            if name.endswith("_10k_off"):
-                ours.setdefault(name, count)
-        scan(Path("runs_reference"), ref, "results_cross_our_sampler.yaml")
+        pooled: dict[str, int] = {**ours, **ref}
+        scan(Path("runs"), pooled, "results.yaml")
+        scan(Path("runs_reference"), pooled, "results_cross_our_sampler.yaml")
+        for key, count in pooled.items():
+            (ref if key.startswith("ref_") else ours).setdefault(key, count)
 
     o_counts = sorted(ours.values())
     r_counts = sorted(ref.values())
