@@ -25,15 +25,40 @@ import jax
 import jax.numpy as jnp
 
 
+# Shape kwargs shared by sampling and train modes (BENCH_MODEL=...).
+# fast benches the opt-in MXU-aligned shape (d_model 128, 8 heads =>
+# head_dim 16 fills the 16-sublane tile; configs/score_model/fast.yaml).
+# fast512 additionally narrows the FFN to 512: at d_model 128 the
+# d_ff=2048 FFN costs the same MXU time as at d72 (utilization gain
+# exactly cancels the extra FLOPs), so the FFN width is the remaining
+# throughput lever. Default stays the reference shape. heads6 keeps the
+# flagship d_model 72 but partitions it into 6 heads (head_dim 12 ->
+# 75% of the 16-sublane tile vs the reference 12-head head_dim 6 ->
+# 37.5%): same parameter count as the flagship up to the attention
+# partitioning, targeting the S/PV-dot padding floor. "lstm" benches
+# the LSTM backbone (reference results_lstm.ipynb ships LSTM results,
+# so the backbone matrix needs an honest perf row; the fused Pallas
+# program covers only the transformer — LSTM runs the plain scan path).
+SHAPE_KWARGS: dict = {
+    "default": {},
+    "fast": {"d_model": 128, "n_head": 8},
+    "fast512": {"d_model": 128, "n_head": 8, "dim_feedforward": 512},
+    "heads6": {"n_head": 6},
+    "heads6_512": {"n_head": 6, "dim_feedforward": 512},
+    "lstm": {},
+}
+
+
 def bench_train() -> None:
-    """Train-step throughput on the flagship config (batch 64, fp32).
+    """Train-step throughput (batch 64, fp32) on BENCH_MODEL's shape
+    (default: the flagship/reference shape).
 
     Methodology: epoch 0 is warmup (includes compile); the remaining
     epochs are timed individually and the MEDIAN steps/s is reported,
     with min/max on stderr. The reference publishes no training
     throughput; ``vs_baseline`` compares against our recorded round-1
-    number (BENCH_r01 follow-up: 24.2 steps/s) so regressions are
-    visible across rounds.
+    number (BENCH_r01 follow-up: 24.2 steps/s, flagship shape) so
+    regressions are visible across rounds.
     """
     import statistics
     import sys
@@ -45,6 +70,7 @@ def bench_train() -> None:
 
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     epochs = int(os.environ.get("BENCH_EPOCHS", "6"))
+    shape = os.environ.get("BENCH_MODEL", "default")
     # BENCH_DTYPE=bfloat16 measures the bf16 fused-train variant (the
     # Pallas fwd+bwd kernels follow the model compute dtype; fp32 is the
     # quality-validated default — RESULTS.md "bf16 fused training").
@@ -52,13 +78,17 @@ def bench_train() -> None:
     dm = DummyDatamodule(batch_size=batch, n_channels=1, max_len=187, standardize=True)
     dm.prepare_data()
     dm.setup()
-    model = ScoreModelConfig(model_type="transformer", dtype=dtype).build(1, 187)
+    model = ScoreModelConfig(
+        model_type="lstm" if shape == "lstm" else "transformer",
+        dtype=dtype,
+        **SHAPE_KWARGS[shape],
+    ).build(1, 187)
     trainer = Trainer(model, VPScheduler(fourier_noise_scaling=True), max_epochs=epochs)
     trainer.fit(dm)
     steady = [h["steps_per_sec"] for h in trainer.history[1:]]
     steps_per_sec = statistics.median(steady)
     print(
-        f"# steady-state epochs: median={steps_per_sec:.2f} "
+        f"# [{shape}] steady-state epochs: median={steps_per_sec:.2f} "
         f"min={min(steady):.2f} max={max(steady):.2f} (n={len(steady)})",
         file=sys.stderr,
     )
@@ -66,13 +96,15 @@ def bench_train() -> None:
     print(
         json.dumps(
             {
-                "metric": "train_steps_per_sec",
+                "metric": "train_steps_per_sec"
+                + ("" if shape == "default" else f"_{shape}"),
                 "value": round(steps_per_sec, 2),
                 "unit": "steps/s/chip",
                 "vs_baseline": round(steps_per_sec / round1_steps_per_sec, 3),
                 # NOTE: unlike sampling mode (north-star target), train
                 # mode has no external baseline — the reference publishes
-                # none — so vs_baseline is vs OUR round-1 number.
+                # none — so vs_baseline is vs OUR round-1 number
+                # (flagship shape, so fast-shape rows read >1).
                 "baseline": "self_round1_24.2_steps_per_sec",
             }
         )
@@ -81,8 +113,8 @@ def bench_train() -> None:
 
 def _measure_sampling(
     shape: str, batch: int, steps: int, method: str = "em"
-) -> tuple[float, float]:
-    """(samples/s, warmup_s) for one shape at (batch, steps, method)."""
+) -> tuple[float, float, int]:
+    """(samples/s, warmup_s, stall_reps) for one shape at (batch, steps, method)."""
     import statistics
     import sys
 
@@ -93,32 +125,10 @@ def _measure_sampling(
     from fourierdiffusion_tpu.schedulers import VPScheduler
 
     max_len, n_channels = 187, 1
-    # BENCH_MODEL=fast benches the opt-in MXU-aligned shape (d_model 128,
-    # 8 heads => head_dim 16 fills the 16-sublane tile; configs/
-    # score_model/fast.yaml). fast512 additionally narrows the FFN to 512:
-    # at d_model 128 the d_ff=2048 FFN costs the same MXU time as at d72
-    # (utilization gain exactly cancels the extra FLOPs), so the FFN width
-    # is the remaining throughput lever. Default stays the reference shape.
-    # heads6 keeps the flagship d_model 72 but partitions it into 6 heads
-    # (head_dim 12 -> 75% of the 16-sublane tile vs the reference 12-head
-    # head_dim 6 -> 37.5%): same parameter count as the flagship up to the
-    # attention partitioning, targeting the S/PV-dot padding floor.
-    # "lstm" benches the LSTM backbone (reference results_lstm.ipynb ships
-    # LSTM results, so the backbone matrix needs an honest perf row; the
-    # fused Pallas program covers only the transformer — LSTM sampling
-    # runs the plain scan path).
-    shape_kwargs: dict = {
-        "default": {},
-        "fast": {"d_model": 128, "n_head": 8},
-        "fast512": {"d_model": 128, "n_head": 8, "dim_feedforward": 512},
-        "heads6": {"n_head": 6},
-        "heads6_512": {"n_head": 6, "dim_feedforward": 512},
-        "lstm": {},
-    }[shape]
     model = ScoreModelConfig(
         model_type="lstm" if shape == "lstm" else "transformer",
         dtype="bfloat16",
-        **shape_kwargs,
+        **SHAPE_KWARGS[shape],
     ).build(n_channels=n_channels, max_len=max_len)
     scheduler = VPScheduler(fourier_noise_scaling=True)
 
@@ -152,16 +162,22 @@ def _measure_sampling(
         out = fn(variables, jax.random.PRNGKey(2 + i))
         out.block_until_ready()
         rep_times.append(time.perf_counter() - t0)
+    median_t = statistics.median(rep_times)
+    # Tunnel-stall marker (VERDICT r04 weak #4): a rep >2x the median is
+    # a dispatch stall in the axon tunnel (observed: 183 s then 15.3 s
+    # for identical programs), not real throughput variance. Flag it so
+    # the artifact is self-explaining.
+    stalls = sum(t > 2.0 * median_t for t in rep_times)
     print(
         f"# [{label}] reps: "
         + " ".join(f"{batch / t:.1f}" for t in rep_times)
-        + " samples/s",
+        + " samples/s"
+        + (f"  [STALL: {stalls} rep(s) >2x median]" if stalls else ""),
         file=sys.stderr,
     )
-    # Median rep, matching train mode: the axon tunnel occasionally stalls
-    # one dispatch by minutes (observed: 183 s then 15.3 s for identical
-    # programs), which a sum-over-reps would misreport as throughput.
-    return batch / statistics.median(rep_times), warmup_s
+    # Median rep, matching train mode: a sum-over-reps would misreport
+    # stalled dispatches as throughput.
+    return batch / median_t, warmup_s, stalls
 
 
 def main() -> None:
@@ -176,7 +192,7 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
 
     shape = os.environ.get("BENCH_MODEL", "default")
-    samples_per_sec, warmup_s = _measure_sampling(shape, batch, steps)
+    samples_per_sec, warmup_s, stalls = _measure_sampling(shape, batch, steps)
     per_chip_target = 10000.0 / 60.0 / 8.0  # v5e-8 north star, per chip
     record = {
         "metric": f"diffusion_samples_per_sec_{steps}step"
@@ -186,6 +202,8 @@ def main() -> None:
         "vs_baseline": round(samples_per_sec / per_chip_target, 3),
         "warmup_s": round(warmup_s, 1),
     }
+    if stalls:
+        record["stall_reps"] = stalls  # see stderr STALL marker
     # The default invocation ALSO measures the recommended fast shape
     # (fast512: d128/8h/dff512 — beats the flagship on all four quality
     # metrics at 600 epochs, RESULTS.md Pareto) and reports it as extra
@@ -193,7 +211,7 @@ def main() -> None:
     # the recommended operating point are on record every round.
     # BENCH_RECOMMENDED=0 skips it; BENCH_MODEL=<shape> benches one shape.
     if shape == "default" and os.environ.get("BENCH_RECOMMENDED", "1") == "1":
-        rec_sps, _ = _measure_sampling("fast512", batch, steps)
+        rec_sps, _, _ = _measure_sampling("fast512", batch, steps)
         record["recommended_shape"] = "fast512"
         record["recommended_samples_per_sec"] = round(rec_sps, 2)
         record["recommended_vs_baseline"] = round(rec_sps / per_chip_target, 3)
@@ -207,19 +225,19 @@ def main() -> None:
         and steps == 1000
         and os.environ.get("BENCH_PC", "1") == "1"
     ):
-        pc_sps, _ = _measure_sampling("default", batch, 250, method="pc")
+        pc_sps, _, _ = _measure_sampling("default", batch, 250, method="pc")
         record["pc250_samples_per_sec"] = round(pc_sps, 2)
         record["pc250_vs_baseline"] = round(pc_sps / per_chip_target, 3)
         if os.environ.get("BENCH_RECOMMENDED", "1") == "1":
             # Composite operating point: recommended shape × quality-
             # matched sampler (fast512 + pc-250).
-            cps, _ = _measure_sampling("fast512", batch, 250, method="pc")
+            cps, _, _ = _measure_sampling("fast512", batch, 250, method="pc")
             record["fast512_pc250_samples_per_sec"] = round(cps, 2)
             record["fast512_pc250_vs_baseline"] = round(cps / per_chip_target, 3)
             # Fastest all-metrics-beat-reference point measured (110.4/s,
             # RESULTS.md "Composite operating points"): heads6_512 trades
             # only the time-marginal metric vs fast512.
-            hps, _ = _measure_sampling("heads6_512", batch, 250, method="pc")
+            hps, _, _ = _measure_sampling("heads6_512", batch, 250, method="pc")
             record["heads6_512_pc250_samples_per_sec"] = round(hps, 2)
             record["heads6_512_pc250_vs_baseline"] = round(
                 hps / per_chip_target, 3
